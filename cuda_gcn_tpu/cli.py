@@ -1,0 +1,130 @@
+"""Command-line entry point.
+
+Usage mirrors the reference (src/main.cpp:15-49):
+
+    tpu-gcn <graph_name> [num_nodes input_dim hidden_dim output_dim dropout
+                          learning_rate weight_decay epochs early_stopping]
+
+The reference's usage string advertises those nine positional overrides but never
+parses them (main.cpp:24-25 vs :29-36); here they work. ``num_nodes``,
+``input_dim`` and ``output_dim`` remain parser-inferred regardless, exactly like
+the reference (parser.cpp:45,90-91) — passing them is accepted but ignored, with
+a warning. Dataset names starting with ``synth-`` generate the synthetic stand-in
+instead of reading files (the reference ships no data).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from cuda_gcn_tpu.config import GCNConfig
+
+_POSITIONAL = ["num_nodes", "input_dim", "hidden_dim", "output_dim", "dropout",
+               "learning_rate", "weight_decay", "epochs", "early_stopping"]
+_PARSER_INFERRED = {"num_nodes", "input_dim", "output_dim"}
+_FLOAT_FIELDS = {"dropout", "learning_rate", "weight_decay"}
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpu-gcn",
+        description="TPU-native full-batch GCN training (capabilities of hengdashi/cuda_gcn).",
+    )
+    p.add_argument("graph_name", help="dataset name under --data-dir, or synth-{cora,citeseer,pubmed,reddit}")
+    p.add_argument("overrides", nargs="*", metavar="HP",
+                   help=f"positional hyperparameter overrides, in order: {' '.join(_POSITIONAL)}")
+    p.add_argument("--data-dir", default="data")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "segment", "ell", "pallas", "dense"],
+                   help="graphsum backend")
+    p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--platform", default=None, choices=["tpu", "cpu"],
+                   help="force a JAX platform (default: environment's)")
+    p.add_argument("--save-checkpoint", default=None, metavar="PATH",
+                   help="save the final train state to PATH (npz)")
+    p.add_argument("--load-checkpoint", default=None, metavar="PATH",
+                   help="initialize the train state from PATH before training")
+    for name in _POSITIONAL:
+        typ = float if name in _FLOAT_FIELDS else int
+        p.add_argument(f"--{name.replace('_', '-')}", type=typ, default=None)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> GCNConfig:
+    cfg = GCNConfig(seed=args.seed, graphsum_backend=args.backend, compute_dtype=args.compute_dtype)
+    updates: dict = {}
+    for name, value in zip(_POSITIONAL, args.overrides):
+        typ = float if name in _FLOAT_FIELDS else int
+        try:
+            updates[name] = typ(value)
+        except ValueError:
+            raise SystemExit(f"invalid value for {name}: {value!r} (expected {typ.__name__})")
+    for name in _POSITIONAL:  # --flag form wins over positional
+        flag_val = getattr(args, name)
+        if flag_val is not None:
+            updates[name] = flag_val
+    ignored = sorted(_PARSER_INFERRED & updates.keys())
+    if ignored:
+        print(f"note: {', '.join(ignored)} are inferred from the dataset; override ignored",
+              file=sys.stderr)
+        for name in ignored:
+            updates.pop(name)
+    return dataclasses.replace(cfg, **updates)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_argparser().parse_args(argv)
+    if len(args.overrides) > len(_POSITIONAL):
+        print(f"too many positional overrides (max {len(_POSITIONAL)})", file=sys.stderr)
+        return 1
+
+    cfg = config_from_args(args)
+
+    from cuda_gcn_tpu.data.synthetic import PROFILES, make_synthetic
+
+    if args.graph_name in PROFILES:
+        dataset = make_synthetic(args.graph_name, seed=cfg.seed)
+        print(f"Generated synthetic dataset {args.graph_name}.")
+    else:
+        from cuda_gcn_tpu.data.parser import load_dataset
+
+        try:
+            dataset = load_dataset(args.graph_name, data_dir=args.data_dir)
+        except FileNotFoundError as e:
+            print(f"Cannot read input: {args.graph_name} ({e})", file=sys.stderr)
+            return 1
+        print("Parse Graph Succeeded.")
+        print("Parse Node Succeeded.")
+        print("Parse Split Succeeded.")
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    platform = jax.devices()[0].platform.upper()
+    print(f"RUNNING ON {platform}")
+
+    from cuda_gcn_tpu import train as train_mod
+
+    initial_state = None
+    if args.load_checkpoint:
+        from cuda_gcn_tpu.utils.checkpoint import restore_state
+
+        template = train_mod.create_state(dataset.apply_config(cfg))
+        initial_state = restore_state(args.load_checkpoint, like=template)
+        print(f"restored checkpoint from {args.load_checkpoint}")
+    result = train_mod.run(cfg, dataset, verbose=True, initial_state=initial_state)
+
+    if args.save_checkpoint:
+        from cuda_gcn_tpu.utils.checkpoint import save_state
+
+        save_state(args.save_checkpoint, result.state)
+        print(f"checkpoint saved to {args.save_checkpoint}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

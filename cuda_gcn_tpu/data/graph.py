@@ -1,0 +1,223 @@
+"""Device-ready graph container: CSR + symmetric normalization, built once.
+
+The reference recomputes the edge normalization ``1/sqrt(deg(src)*deg(dst))`` on every
+forward AND backward pass, per edge (src/seq/module.cpp:91-93,110-112), where the
+"degree" is the CSR row length *including* the prepended self-loop. TPU-first design
+materializes those coefficients once at graph-build time as the values array of the
+normalized adjacency Â = D^-1/2 (A+I) D^-1/2.
+
+Two edge orderings are precomputed so both the forward SpMM (out[src] += c·in[dst],
+module.cpp:95-99) and its transpose for the backward pass run over *sorted* segment
+ids (no unsorted scatter on TPU):
+
+  * CSR order   — edges sorted by src (row) id; forward aggregation.
+  * CSC order   — the same edges sorted by dst id; the backward/transpose aggregation
+    (for undirected graphs Â is symmetric so the values coincide, but we build the
+    true transpose and stay correct for any input graph).
+
+Additionally a bucketed-ELL packing is derived for the `ell`/`pallas` graphsum
+backends: rows are sorted by degree and grouped into power-of-two-width buckets,
+each padded with (row 0, coef 0) entries, so aggregation becomes a short static
+scan of vectorized row gathers — no scatter at all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cuda_gcn_tpu.data.parser import CSR
+
+
+@dataclasses.dataclass(frozen=True)
+class EllBucket:
+    """One degree bucket of the ELL packing (host-side, numpy)."""
+
+    rows: np.ndarray   # (R,) int32 node ids whose rows live in this bucket
+    cols: np.ndarray   # (R, W) int32 neighbor ids, padded with 0
+    coef: np.ndarray   # (R, W) float32 edge coefficients, padded with 0.0
+    width: int
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Graph:
+    """Device-resident normalized adjacency in several layouts.
+
+    Registered as a pytree so it can be passed straight through ``jax.jit`` /
+    ``shard_map``; the integer metadata travels as static aux data.
+    """
+
+    # COO, CSR-ordered (sorted by src): forward gathers in[dst], segments by src.
+    src: jnp.ndarray       # (nnz,) int32
+    dst: jnp.ndarray       # (nnz,) int32
+    coef: jnp.ndarray      # (nnz,) float32
+    # COO, CSC-ordered (sorted by dst == transpose rows): backward aggregation.
+    t_src: jnp.ndarray     # (nnz,) int32  (transpose row id; sorted)
+    t_dst: jnp.ndarray     # (nnz,) int32  (transpose col id)
+    t_coef: jnp.ndarray    # (nnz,) float32
+    # Bucketed ELL packings of the forward and transpose structures (may be empty).
+    ell_fwd: tuple         # tuple[EllBucketDev, ...]
+    ell_bwd: tuple
+    adj: jnp.ndarray | None  # dense [N, N] Â for the 'dense' backend (small graphs)
+    n_nodes: int
+    symmetric: bool        # True when edge set is symmetric (undirected input)
+    backend: str = "segment"  # static: 'segment' | 'ell' | 'pallas' | 'dense'
+
+    @property
+    def nnz(self) -> int:
+        return int(self.src.shape[0])
+
+    def with_backend(self, backend: str) -> "Graph":
+        return dataclasses.replace(self, backend=backend)
+
+    def tree_flatten(self):
+        leaves = (self.src, self.dst, self.coef, self.t_src, self.t_dst, self.t_coef,
+                  self.ell_fwd, self.ell_bwd, self.adj)
+        return leaves, (self.n_nodes, self.symmetric, self.backend)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        src, dst, coef, t_src, t_dst, t_coef, ell_fwd, ell_bwd, adj = leaves
+        return cls(src, dst, coef, t_src, t_dst, t_coef, ell_fwd, ell_bwd, adj,
+                   n_nodes=aux[0], symmetric=aux[1], backend=aux[2])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class EllBucketDev:
+    """Device-side ELL bucket (pytree)."""
+
+    rows: jnp.ndarray   # (R,) int32
+    cols: jnp.ndarray   # (R, W) int32
+    coef: jnp.ndarray   # (R, W) float32
+
+    def tree_flatten(self):
+        return (self.rows, self.cols, self.coef), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
+def normalization_coefficients(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Per-edge Â values: 1/sqrt(rowlen(src) * rowlen(dst)) (module.cpp:91-93).
+
+    Row lengths include the self-loop the parser prepended, so this equals the
+    standard GCN D^-1/2 (A+I) D^-1/2 normalization.
+    """
+    deg = np.diff(indptr).astype(np.float64)
+    src = np.repeat(np.arange(len(indptr) - 1), np.diff(indptr))
+    return (1.0 / np.sqrt(deg[src] * deg[indices])).astype(np.float32)
+
+
+def _ell_pack(rows_sorted: np.ndarray, deg: np.ndarray, col_of: np.ndarray,
+              coef_of: np.ndarray, indptr: np.ndarray) -> list[EllBucket]:
+    """Bucket rows by ceil-pow2 degree; pad each bucket's rows to the bucket width."""
+    buckets: list[EllBucket] = []
+    if len(rows_sorted) == 0:
+        return buckets
+    deg_sorted = deg[rows_sorted]
+    # bucket id = ceil(log2(max(deg,1)))
+    bucket_id = np.ceil(np.log2(np.maximum(deg_sorted, 1))).astype(np.int64)
+    for b in np.unique(bucket_id):
+        sel = rows_sorted[bucket_id == b]
+        width = max(int(2**b), 1)  # nominal pow2 width: keeps widths chunk-divisible
+        r = len(sel)
+        cols = np.zeros((r, width), dtype=np.int32)
+        coef = np.zeros((r, width), dtype=np.float32)
+        for i, row in enumerate(sel):
+            lo, hi = indptr[row], indptr[row + 1]
+            cols[i, : hi - lo] = col_of[lo:hi]
+            coef[i, : hi - lo] = coef_of[lo:hi]
+        buckets.append(EllBucket(rows=sel.astype(np.int32), cols=cols, coef=coef, width=width))
+    return buckets
+
+
+def build_ell(indptr: np.ndarray, indices: np.ndarray, coef: np.ndarray) -> list[EllBucket]:
+    n = len(indptr) - 1
+    deg = np.diff(indptr)
+    order = np.argsort(deg, kind="stable")
+    return _ell_pack(order, deg, indices, coef, indptr)
+
+
+def _transpose_coo(src: np.ndarray, dst: np.ndarray, coef: np.ndarray):
+    perm = np.argsort(dst, kind="stable")
+    return dst[perm], src[perm], coef[perm]
+
+
+def _coo_to_csr(rows_sorted: np.ndarray, n: int) -> np.ndarray:
+    """indptr from row ids that are already sorted ascending."""
+    counts = np.bincount(rows_sorted, minlength=n)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    return indptr
+
+
+# 'auto' backend: dense MXU matmul below this node count, ELL gather-scan above.
+DENSE_BACKEND_MAX_NODES = 8192
+
+
+def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto") -> Graph:
+    """Construct the device Graph from a parsed adjacency CSR (self-loops included)."""
+    n = csr.nrows
+    if backend == "auto":
+        backend = "dense" if n <= DENSE_BACKEND_MAX_NODES else "ell"
+    indptr = csr.indptr.astype(np.int64)
+    indices = csr.indices.astype(np.int64)
+    coef = normalization_coefficients(indptr, indices)
+    src = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    dst = indices
+
+    t_src, t_dst, t_coef = _transpose_coo(src, dst, coef)
+
+    # symmetry check (pattern): transpose edge set equals forward edge set
+    fwd_key = src * n + dst
+    t_key = t_dst * n + t_src
+    symmetric = bool(np.array_equal(np.sort(fwd_key), np.sort(t_key)))
+
+    ell_fwd: tuple = ()
+    ell_bwd: tuple = ()
+    if with_ell and backend in ("ell", "pallas"):
+        fwd_buckets = build_ell(indptr, indices.astype(np.int32), coef)
+        t_indptr = _coo_to_csr(t_src, n)
+        bwd_buckets = _ell_pack(
+            np.argsort(np.diff(t_indptr), kind="stable"),
+            np.diff(t_indptr), t_dst.astype(np.int32), t_coef, t_indptr,
+        )
+        ell_fwd = tuple(EllBucketDev(jnp.asarray(b.rows), jnp.asarray(b.cols), jnp.asarray(b.coef))
+                        for b in fwd_buckets)
+        ell_bwd = tuple(EllBucketDev(jnp.asarray(b.rows), jnp.asarray(b.cols), jnp.asarray(b.coef))
+                        for b in bwd_buckets)
+
+    adj = None
+    if backend == "dense":
+        dense = np.zeros((n, n), dtype=np.float32)
+        np.add.at(dense, (src, dst), coef)
+        adj = jnp.asarray(dense)
+
+    return Graph(
+        src=jnp.asarray(src, jnp.int32),
+        dst=jnp.asarray(dst, jnp.int32),
+        coef=jnp.asarray(coef),
+        t_src=jnp.asarray(t_src, jnp.int32),
+        t_dst=jnp.asarray(t_dst, jnp.int32),
+        t_coef=jnp.asarray(t_coef),
+        ell_fwd=ell_fwd,
+        ell_bwd=ell_bwd,
+        adj=adj,
+        n_nodes=n,
+        symmetric=symmetric,
+        backend=backend,
+    )
+
+
+def dense_adjacency(graph: Graph) -> jnp.ndarray:
+    """Materialize Â as a dense [N, N] matrix (small graphs / oracle / MXU backend)."""
+    n = graph.n_nodes
+    a = jnp.zeros((n, n), jnp.float32)
+    return a.at[graph.src, graph.dst].add(graph.coef)

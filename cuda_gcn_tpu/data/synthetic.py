@@ -1,0 +1,181 @@
+"""Synthetic dataset generation.
+
+The reference ships no data; its datasets (cora/citeseer/pubmed/reddit — report §3.2)
+are external downloads. This module generates deterministic synthetic stand-ins with
+the same shape profile (nodes/edges/classes/features) and a planted community
+structure: homophilous edges + class-correlated sparse features, so a 2-layer GCN
+genuinely converges on them. Used by tests, benchmarks, and as a fallback when the
+real files are absent.
+
+``write_dataset`` emits the exact ``.graph/.split/.svmlight`` on-disk format the
+parser consumes (reference format: src/common/parser.cpp), which round-trip tests
+the parser.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from cuda_gcn_tpu.data.parser import CSR, GCNDataset
+
+# name -> (nodes, undirected_edges, classes, features) matching report.pdf §3.2
+PROFILES = {
+    "synth-cora": (2708, 5429, 7, 1433),
+    "synth-citeseer": (3327, 4732, 6, 3703),
+    "synth-pubmed": (19717, 44338, 3, 500),
+    "synth-reddit": (232965, 11606919, 41, 602),
+}
+
+
+@dataclasses.dataclass
+class SynthSpec:
+    num_nodes: int
+    num_edges: int          # undirected edge count (each appears twice in .graph)
+    num_classes: int
+    input_dim: int
+    homophily: float = 0.8  # probability an edge endpoint shares the source's class
+    nnz_per_node: int = 20  # sparse features per node
+    train_per_class: int = 20
+    num_val: int = 500
+    num_test: int = 1000
+    powerlaw: float = 0.8   # degree skew (0 = uniform)
+
+
+def spec_for(name: str, **overrides) -> SynthSpec:
+    n, e, c, f = PROFILES[name]
+    spec = SynthSpec(num_nodes=n, num_edges=e, num_classes=c, input_dim=f)
+    # scale the split sizes for big graphs (reddit-style: most nodes labeled)
+    if n > 100_000:
+        spec.train_per_class = max(20, n // (4 * c))
+        spec.num_val = n // 10
+        spec.num_test = n // 5
+    return dataclasses.replace(spec, **overrides)
+
+
+def _sample_edges(rng: np.random.Generator, spec: SynthSpec, labels: np.ndarray):
+    """Vectorized homophilous edge sampling with power-law source propensity."""
+    n, e = spec.num_nodes, spec.num_edges
+    # degree propensity ~ (rank)^-powerlaw
+    prop = (np.arange(1, n + 1, dtype=np.float64)) ** (-spec.powerlaw)
+    rng.shuffle(prop)
+    prop /= prop.sum()
+    src = rng.choice(n, size=e, p=prop)
+    dst = rng.integers(0, n, size=e)
+    # rewire a homophily fraction to same-class targets
+    homo = rng.random(e) < spec.homophily
+    by_class = [np.flatnonzero(labels == c) for c in range(spec.num_classes)]
+    homo_idx = np.flatnonzero(homo)
+    src_cls = labels[src[homo_idx]]
+    new_dst = np.empty(len(homo_idx), dtype=np.int64)
+    for c in range(spec.num_classes):
+        sel = src_cls == c
+        k = int(sel.sum())
+        if k:
+            new_dst[sel] = by_class[c][rng.integers(0, len(by_class[c]), size=k)]
+    dst[homo_idx] = new_dst
+    # drop self edges, symmetrize, dedupe
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    a = np.concatenate([src, dst])
+    b = np.concatenate([dst, src])
+    key = a * n + b
+    _, uniq = np.unique(key, return_index=True)
+    return a[uniq], b[uniq]
+
+
+def make_synthetic(name_or_spec, seed: int = 0) -> GCNDataset:
+    spec = spec_for(name_or_spec) if isinstance(name_or_spec, str) else name_or_spec
+    rng = np.random.default_rng(seed)
+    n, c, f = spec.num_nodes, spec.num_classes, spec.input_dim
+
+    labels = rng.integers(0, c, size=n).astype(np.int32)
+
+    src, dst = _sample_edges(rng, spec, labels)
+    # adjacency CSR with the parser's prepended self-loops
+    order = np.argsort(src, kind="stable")
+    src_s, dst_s = src[order], dst[order]
+    deg = np.bincount(src_s, minlength=n)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg + 1, out=indptr[1:])
+    indices = np.empty(indptr[-1], dtype=np.int64)
+    indices[indptr[:-1]] = np.arange(n)
+    mask = np.ones(indptr[-1], dtype=bool)
+    mask[indptr[:-1]] = False
+    indices[mask] = dst_s
+    graph = CSR(indptr=indptr.astype(np.int32), indices=indices.astype(np.int32))
+
+    # class-correlated sparse features: each class owns a band of feature ids;
+    # a node draws most of its nnz from its class band, the rest anywhere.
+    k = min(spec.nnz_per_node, f)
+    band = max(f // c, 1)
+    in_band = rng.random((n, k)) < 0.7
+    band_lo = (labels.astype(np.int64) * band) % f
+    feat_ids = np.where(
+        in_band,
+        band_lo[:, None] + rng.integers(0, band, size=(n, k)),
+        rng.integers(0, f, size=(n, k)),
+    ) % f
+    feat_vals = (1.0 + 0.1 * rng.standard_normal((n, k))).astype(np.float32)
+    # dedupe per row by keeping first occurrence (svmlight wants unique keys)
+    sort_ix = np.argsort(feat_ids, axis=1, kind="stable")
+    feat_ids = np.take_along_axis(feat_ids, sort_ix, axis=1)
+    feat_vals = np.take_along_axis(feat_vals, sort_ix, axis=1)
+    dup = np.zeros((n, k), dtype=bool)
+    dup[:, 1:] = feat_ids[:, 1:] == feat_ids[:, :-1]
+    keep = ~dup
+    row_counts = keep.sum(axis=1)
+    f_indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(row_counts, out=f_indptr[1:])
+    feature_index = CSR(
+        indptr=f_indptr.astype(np.int32),
+        indices=feat_ids[keep].astype(np.int32),
+    )
+    feature_value = feat_vals[keep]
+
+    # split: per-class train nodes, then val, then test (cora-style conventions)
+    split = np.zeros(n, dtype=np.int32)
+    perm = rng.permutation(n)
+    taken = np.zeros(n, dtype=bool)
+    for cls in range(c):
+        cls_nodes = perm[labels[perm] == cls][: spec.train_per_class]
+        split[cls_nodes] = 1
+        taken[cls_nodes] = True
+    rest = perm[~taken[perm]]
+    split[rest[: spec.num_val]] = 2
+    split[rest[spec.num_val : spec.num_val + spec.num_test]] = 3
+
+    return GCNDataset(
+        graph=graph,
+        feature_index=feature_index,
+        feature_value=feature_value,
+        label=labels,
+        split=split,
+        num_nodes=n,
+        input_dim=f,
+        output_dim=c,
+    )
+
+
+def write_dataset(ds: GCNDataset, data_dir: str, name: str) -> None:
+    """Write a dataset in the reference 3-file text format (self-loops stripped:
+    the parser re-adds them, parser.cpp:30-33)."""
+    import os
+
+    os.makedirs(data_dir, exist_ok=True)
+    with open(os.path.join(data_dir, f"{name}.graph"), "w") as fh:
+        for i in range(ds.num_nodes):
+            lo, hi = ds.graph.indptr[i], ds.graph.indptr[i + 1]
+            neigh = [str(j) for j in ds.graph.indices[lo:hi] if j != i]
+            fh.write(" ".join(neigh) + "\n")
+    with open(os.path.join(data_dir, f"{name}.split"), "w") as fh:
+        fh.write("\n".join(str(int(s)) for s in ds.split) + "\n")
+    with open(os.path.join(data_dir, f"{name}.svmlight"), "w") as fh:
+        for i in range(ds.num_nodes):
+            lo, hi = ds.feature_index.indptr[i], ds.feature_index.indptr[i + 1]
+            kvs = " ".join(
+                f"{int(k)}:{float(v):.6g}"
+                for k, v in zip(ds.feature_index.indices[lo:hi], ds.feature_value[lo:hi])
+            )
+            fh.write(f"{int(ds.label[i])} {kvs}".rstrip() + "\n")

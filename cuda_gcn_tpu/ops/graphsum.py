@@ -1,0 +1,122 @@
+"""GraphSum: out = Â·H — aggregation over the symmetrically-normalized adjacency.
+
+TPU-native replacement for the reference's GraphSum CPU loops (src/seq/module.cpp:83-119)
+and CUDA kernels (src/cuda/cuda_kernel.cu:126-162). The reference gathers
+``out[src] += coef * in[dst]`` per CSR edge and recomputes ``coef`` per pass; we
+consume precomputed coefficients (see data/graph.py) and pick among backends:
+
+* ``segment`` — sorted gather + ``jax.ops.segment_sum``; the oracle backend. Both
+  directions run over *sorted* segment ids because the Graph carries the transpose
+  edge ordering, so the backward never hits an unsorted scatter.
+* ``ell``     — bucketed-ELL gather-scan: per degree bucket, a static scan of
+  vectorized row gathers with register accumulation; NO scatter anywhere (bucket
+  rows are disjoint, results merge by `.at[rows].set`). Best for large power-law
+  graphs on TPU where scatters serialize.
+* ``pallas``  — hand-written Pallas SpMM kernel over the same ELL packing
+  (ops/pallas_spmm.py).
+* ``dense``   — Â materialized [N,N]; one MXU matmul. Fastest for small graphs
+  (cora/citeseer-scale) where N² fits comfortably in HBM.
+
+The backward pass is wired by custom VJP: d/dH (Â·H) applied to cotangent G is
+Âᵀ·G, computed with the same machinery over the precomputed transpose layout
+(valid for any graph, not just symmetric Â — the reference relies on symmetry,
+module.cpp:95 comment).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_gcn_tpu.data.graph import Graph
+
+# ELL buckets whose width exceeds this are processed with a lax.scan over
+# width-chunks; narrower buckets use a single batched gather.
+_ELL_CHUNK = 8
+
+
+def _segment_apply(h, rows, cols, coef, n):
+    vals = h[cols] * coef[:, None].astype(h.dtype)
+    return jax.ops.segment_sum(vals, rows, num_segments=n, indices_are_sorted=True)
+
+
+def _ell_bucket_apply(h, bucket):
+    """Aggregate one ELL bucket: rows (R,), cols (R,W), coef (R,W) -> (R, d)."""
+    r, w = bucket.cols.shape
+    if w <= _ELL_CHUNK:
+        gathered = h[bucket.cols]  # (R, W, d)
+        return jnp.sum(gathered * bucket.coef[..., None].astype(h.dtype), axis=1)
+    # chunked scan: widths are powers of two >= _ELL_CHUNK, so this divides evenly
+    num_chunks = w // _ELL_CHUNK
+    cols = bucket.cols.reshape(r, num_chunks, _ELL_CHUNK).transpose(1, 0, 2)
+    coef = bucket.coef.reshape(r, num_chunks, _ELL_CHUNK).transpose(1, 0, 2)
+
+    def step(acc, chunk):
+        c_cols, c_coef = chunk
+        gathered = h[c_cols]  # (R, CHUNK, d)
+        return acc + jnp.sum(gathered * c_coef[..., None].astype(h.dtype), axis=1), None
+
+    init = jnp.zeros((r, h.shape[1]), h.dtype)
+    acc, _ = jax.lax.scan(step, init, (cols, coef))
+    return acc
+
+
+def _ell_apply(h, buckets, n):
+    out = jnp.zeros((n, h.shape[1]), h.dtype)
+    for bucket in buckets:
+        out = out.at[bucket.rows].set(_ell_bucket_apply(h, bucket))
+    return out
+
+
+def _forward(h, graph: Graph):
+    if graph.backend == "dense":
+        return jnp.dot(graph.adj.astype(h.dtype), h, preferred_element_type=h.dtype)
+    if graph.backend == "ell":
+        return _ell_apply(h, graph.ell_fwd, graph.n_nodes)
+    if graph.backend == "pallas":
+        from cuda_gcn_tpu.ops.pallas_spmm import ell_spmm
+
+        return ell_spmm(h, graph.ell_fwd, graph.n_nodes)
+    return _segment_apply(h, graph.src, graph.dst, graph.coef, graph.n_nodes)
+
+
+def _transpose_forward(g, graph: Graph):
+    """Âᵀ·G over the precomputed transpose layout."""
+    if graph.backend == "dense":
+        return jnp.dot(graph.adj.T.astype(g.dtype), g, preferred_element_type=g.dtype)
+    if graph.backend == "ell":
+        return _ell_apply(g, graph.ell_bwd, graph.n_nodes)
+    if graph.backend == "pallas":
+        from cuda_gcn_tpu.ops.pallas_spmm import ell_spmm
+
+        return ell_spmm(g, graph.ell_bwd, graph.n_nodes)
+    return _segment_apply(g, graph.t_src, graph.t_dst, graph.t_coef, graph.n_nodes)
+
+
+def _zero_cotangent(tree):
+    def zero(x):
+        if x is None:
+            return None
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.zeros_like(x)
+        return np.zeros(x.shape, jax.dtypes.float0)
+
+    return jax.tree_util.tree_map(zero, tree)
+
+
+@jax.custom_vjp
+def graphsum(h: jnp.ndarray, graph: Graph) -> jnp.ndarray:
+    """out = Â·H for H of shape [N, d]."""
+    return _forward(h, graph)
+
+
+def _graphsum_fwd(h, graph):
+    return _forward(h, graph), graph
+
+
+def _graphsum_bwd(graph, g):
+    return _transpose_forward(g, graph), _zero_cotangent(graph)
+
+
+graphsum.defvjp(_graphsum_fwd, _graphsum_bwd)

@@ -1,0 +1,156 @@
+"""Training harness: jitted train/eval steps and the epoch loop.
+
+TPU-native equivalent of GCN::run / train_epoch / eval (src/seq/gcn.cpp:107-158)
+and CUDAGCN::run (src/cuda/cuda_gcn.cu:136-187). Where the reference pays per-epoch
+host↔device crossings (feature re-upload cuda_gcn.cu:81-83, set_truth
+malloc/memcpy/free cuda_gcn.cu:85-97, full-logits D2H for accuracy
+cuda_gcn.cu:100-120), the TPU build keeps everything device-resident: one jitted
+``train_step`` with donated state returns only scalar metrics, truth vectors are
+precomputed per split and live on device, and accuracy/loss reduce on device.
+
+Output contract preserved from the reference for diffability (gcn.cpp:139-157):
+
+    epoch=%d train_loss=%.5f train_acc=%.5f val_loss=%.5f val_acc=%.5f time=%.5f
+    total training time=%.5f
+    test_loss=%.5f test_acc=%.5f time=%.5f
+
+As in the reference, the per-epoch time (and "total training time") includes the
+validation forward pass — TMR_TRAIN brackets train_epoch()+eval(2) (gcn.cpp:135-140),
+and the train loss/accuracy are measured on the dropout-active training forward,
+before the optimizer step. Early stopping: stop when the current val loss exceeds
+the mean of the last ``early_stopping`` val losses, current included
+(gcn.cpp:142-150).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_gcn_tpu.config import GCNConfig
+from cuda_gcn_tpu.data.graph import Graph, build_graph
+from cuda_gcn_tpu.data.parser import GCNDataset
+from cuda_gcn_tpu.models import gcn
+from cuda_gcn_tpu.ops import adam
+from cuda_gcn_tpu.utils.timer import TMR_TEST, TMR_TRAIN, timers
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt: adam.AdamState
+    key: jax.Array
+
+    def tree_flatten(self):
+        return (self.params, self.opt, self.key), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
+def create_state(cfg: GCNConfig, rng_key: jax.Array | None = None) -> TrainState:
+    key = rng_key if rng_key is not None else jax.random.PRNGKey(cfg.seed)
+    init_key, run_key = jax.random.split(key)
+    params = gcn.init_params(init_key, cfg.layer_dims(), dtype=jnp.dtype(cfg.param_dtype))
+    return TrainState(params=params, opt=adam.init(params), key=run_key)
+
+
+def make_truth(split: np.ndarray, label: np.ndarray, current_split: int) -> jnp.ndarray:
+    """set_truth equivalent (gcn.cpp:78-81): label where split matches, else -1."""
+    return jnp.asarray(np.where(split == current_split, label, -1).astype(np.int32))
+
+
+@partial(jax.jit, static_argnames=("dropout_rate", "weight_decay", "lr"), donate_argnums=(0,))
+def train_step(state: TrainState, graph: Graph, x: jnp.ndarray, truth: jnp.ndarray,
+               *, dropout_rate: float, weight_decay: float, lr: float):
+    """One full-batch step: forward (training mode) + grads + Adam. Returns
+    (new_state, train_loss, train_acc) — loss/acc at the *pre-step* weights,
+    measured on the dropout-active forward, like train_epoch (gcn.cpp:107-118)."""
+    key, subkey = jax.random.split(state.key)
+    (loss, (_, acc)), grads = jax.value_and_grad(gcn.loss_fn, has_aux=True)(
+        state.params, graph, x, truth,
+        weight_decay=weight_decay, key=subkey, dropout_rate=dropout_rate, training=True,
+    )
+    params, opt = adam.apply(state.params, grads, state.opt, adam.AdamParams(lr=lr))
+    return TrainState(params=params, opt=opt, key=key), loss, acc
+
+
+@partial(jax.jit, static_argnames=("weight_decay",))
+def eval_step(params, graph: Graph, x: jnp.ndarray, truth: jnp.ndarray, *, weight_decay: float):
+    """Evaluation forward (training=false): returns (loss_incl_l2, acc) (gcn.cpp:120-128)."""
+    loss, (_, acc) = gcn.loss_fn(params, graph, x, truth, weight_decay=weight_decay, training=False)
+    return loss, acc
+
+
+@dataclasses.dataclass
+class RunResult:
+    test_loss: float
+    test_acc: float
+    total_train_time: float
+    epochs_run: int
+    state: TrainState
+    history: list[dict]
+
+
+def prepare(cfg: GCNConfig, dataset: GCNDataset):
+    """Build device-resident inputs: graph, features, and per-split truth vectors."""
+    cfg = dataset.apply_config(cfg)
+    graph = build_graph(dataset.graph, backend=cfg.graphsum_backend)
+    x = jnp.asarray(dataset.dense_features(np.dtype(cfg.compute_dtype)))
+    truths = {s: make_truth(dataset.split, dataset.label, s) for s in (1, 2, 3)}
+    return cfg, graph, x, truths
+
+
+def run(cfg: GCNConfig, dataset: GCNDataset, verbose: bool = True,
+        initial_state: TrainState | None = None) -> RunResult:
+    """Full training run with the reference's epoch loop and output contract."""
+    cfg, graph, x, truths = prepare(cfg, dataset)
+    state = initial_state if initial_state is not None else create_state(cfg)
+
+    step_kwargs = dict(dropout_rate=cfg.dropout, weight_decay=cfg.weight_decay, lr=cfg.learning_rate)
+
+    history: list[dict] = []
+    loss_history: list[float] = []
+    epochs_run = 0
+    for epoch in range(1, cfg.epochs + 1):
+        timers.start(TMR_TRAIN)
+        state, train_loss, train_acc = train_step(state, graph, x, truths[1], **step_kwargs)
+        val_loss, val_acc = eval_step(state.params, graph, x, truths[2], weight_decay=cfg.weight_decay)
+        epoch_time = timers.stop(TMR_TRAIN, sync=(train_loss, val_loss))
+        train_loss, train_acc, val_loss, val_acc = (
+            float(train_loss), float(train_acc), float(val_loss), float(val_acc))
+        epochs_run = epoch
+        if verbose:
+            print(f"epoch={epoch} train_loss={train_loss:.5f} train_acc={train_acc:.5f} "
+                  f"val_loss={val_loss:.5f} val_acc={val_acc:.5f} time={epoch_time:.5f}")
+        history.append(dict(epoch=epoch, train_loss=train_loss, train_acc=train_acc,
+                            val_loss=val_loss, val_acc=val_acc, time=epoch_time))
+        loss_history.append(val_loss)
+        if cfg.early_stopping > 0 and epoch >= cfg.early_stopping:
+            recent = loss_history[epoch - cfg.early_stopping : epoch]
+            if val_loss > sum(recent) / cfg.early_stopping:
+                if verbose:
+                    print("Early stopping...")
+                break
+
+    total = timers.total(TMR_TRAIN)
+    if verbose:
+        print(f"total training time={total:.5f}")
+
+    timers.start(TMR_TEST)
+    test_loss, test_acc = eval_step(state.params, graph, x, truths[3], weight_decay=cfg.weight_decay)
+    test_time = timers.stop(TMR_TEST, sync=(test_loss, test_acc))
+    test_loss, test_acc = float(test_loss), float(test_acc)
+    if verbose:
+        print(f"test_loss={test_loss:.5f} test_acc={test_acc:.5f} time={test_time:.5f}")
+
+    return RunResult(test_loss=test_loss, test_acc=test_acc, total_train_time=total,
+                     epochs_run=epochs_run, state=state, history=history)

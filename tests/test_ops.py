@@ -1,0 +1,146 @@
+"""Op-level tests: every graphsum backend against the numpy oracle, custom VJP
+against autodiff of the dense formulation, loss/accuracy/Adam against oracle math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from cuda_gcn_tpu.data.graph import build_graph, dense_adjacency
+from cuda_gcn_tpu.data.parser import CSR
+from cuda_gcn_tpu.ops import adam
+from cuda_gcn_tpu.ops.dropout import dropout
+from cuda_gcn_tpu.ops.graphsum import graphsum
+from cuda_gcn_tpu.ops.loss import l2_penalty, masked_cross_entropy, strict_accuracy
+from cuda_gcn_tpu.ops.matmul import csr_matmul
+
+BACKENDS = ["segment", "ell", "dense", "pallas"]
+
+
+def random_csr(rng, n, avg_deg=4):
+    """Random directed graph CSR with prepended self-loops (parser-style)."""
+    rows = []
+    for i in range(n):
+        deg = rng.integers(0, 2 * avg_deg + 1)
+        neigh = rng.choice(n, size=deg, replace=False) if deg else np.empty(0, np.int64)
+        rows.append(np.concatenate([[i], neigh]))
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    indptr[1:] = np.cumsum([len(r) for r in rows])
+    return CSR(indptr=indptr.astype(np.int32),
+               indices=np.concatenate(rows).astype(np.int32))
+
+
+@pytest.fixture(scope="module")
+def csr_and_h():
+    rng = np.random.default_rng(3)
+    csr = random_csr(rng, 64)
+    h = rng.standard_normal((64, 12)).astype(np.float32)
+    return csr, h
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_graphsum_forward_matches_oracle(csr_and_h, backend):
+    csr, h = csr_and_h
+    graph = build_graph(csr, backend=backend)
+    expected = oracle.graphsum_forward(csr.indptr, csr.indices, h.astype(np.float64))
+    got = np.asarray(graphsum(jnp.asarray(h), graph))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_graphsum_vjp_matches_dense_autodiff(csr_and_h, backend):
+    csr, h = csr_and_h
+    graph = build_graph(csr, backend=backend)
+    adj = np.asarray(dense_adjacency(build_graph(csr, backend="segment")))
+
+    def dense_f(h):
+        return jnp.sum(jnp.sin(jnp.asarray(adj) @ h))
+
+    def sparse_f(h):
+        return jnp.sum(jnp.sin(graphsum(h, graph)))
+
+    g_dense = jax.grad(dense_f)(jnp.asarray(h))
+    g_sparse = jax.grad(sparse_f)(jnp.asarray(h))
+    np.testing.assert_allclose(np.asarray(g_sparse), np.asarray(g_dense), rtol=1e-4, atol=1e-5)
+
+
+def test_graphsum_under_jit(csr_and_h):
+    csr, h = csr_and_h
+    graph = build_graph(csr, backend="ell")
+    f = jax.jit(lambda h, g: graphsum(h, g))
+    np.testing.assert_allclose(
+        np.asarray(f(jnp.asarray(h), graph)),
+        oracle.graphsum_forward(csr.indptr, csr.indices, h.astype(np.float64)),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_cross_entropy_matches_oracle(rng):
+    logits = rng.standard_normal((30, 5)).astype(np.float32) * 3
+    truth = rng.integers(-1, 5, size=30).astype(np.int32)
+    assert (truth >= 0).any()
+    exp_loss, exp_grad = oracle.cross_entropy(logits.astype(np.float64), truth)
+    loss = masked_cross_entropy(jnp.asarray(logits), jnp.asarray(truth))
+    np.testing.assert_allclose(float(loss), exp_loss, rtol=1e-5)
+    grad = jax.grad(lambda l: masked_cross_entropy(l, jnp.asarray(truth)))(jnp.asarray(logits))
+    np.testing.assert_allclose(np.asarray(grad), exp_grad, rtol=1e-4, atol=1e-6)
+
+
+def test_strict_accuracy_matches_oracle(rng):
+    logits = rng.standard_normal((50, 7)).astype(np.float32)
+    # inject exact ties: tie counts as correct (gcn.cpp:88-93 strict > comparison)
+    logits[0] = 0.0
+    truth = rng.integers(-1, 7, size=50).astype(np.int32)
+    truth[0] = 3
+    got = float(strict_accuracy(jnp.asarray(logits), jnp.asarray(truth)))
+    assert got == pytest.approx(oracle.strict_accuracy(logits, truth))
+
+
+def test_adam_matches_oracle(rng):
+    w = rng.standard_normal((8, 4)).astype(np.float32)
+    params = {"w1": jnp.asarray(w)}
+    state = adam.init(params)
+    hp = adam.AdamParams(lr=0.01)
+    w_np, m_np, v_np = w.astype(np.float64), np.zeros_like(w, np.float64), np.zeros_like(w, np.float64)
+    for t in range(1, 6):
+        g = rng.standard_normal(w.shape).astype(np.float32)
+        params, state = adam.apply(params, {"w1": jnp.asarray(g)}, state, hp)
+        w_np, m_np, v_np = oracle.adam_step(w_np, g.astype(np.float64), m_np, v_np, t, lr=0.01)
+    np.testing.assert_allclose(np.asarray(params["w1"]), w_np, rtol=1e-4, atol=1e-6)
+    assert int(state.step) == 5
+
+
+def test_adam_weight_decay_via_loss_grad(rng):
+    # grad of (CE-like + l2_penalty) == raw grad + wd*W, the reference decay path
+    w = jnp.asarray(rng.standard_normal((6, 3)).astype(np.float32))
+    wd = 5e-4
+    g = jax.grad(lambda w: l2_penalty(w, wd))(w)
+    np.testing.assert_allclose(np.asarray(g), wd * np.asarray(w), rtol=1e-6)
+
+
+def test_dropout_distribution():
+    key = jax.random.PRNGKey(0)
+    x = jnp.ones((1000, 100))
+    y = np.asarray(dropout(x, 0.5, key, training=True))
+    kept = y > 0
+    np.testing.assert_allclose(kept.mean(), 0.5, atol=0.02)   # keep prob = 1-p
+    np.testing.assert_allclose(y[kept].mean(), 2.0, rtol=1e-5)  # inverted scale 1/(1-p)
+    np.testing.assert_allclose(y.mean(), 1.0, atol=0.05)       # expectation preserved
+    # eval mode and rate 0 are identity
+    np.testing.assert_array_equal(np.asarray(dropout(x, 0.5, key, training=False)), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(dropout(x, 0.0, key, training=True)), np.asarray(x))
+
+
+def test_csr_matmul_matches_oracle(tiny_dataset, rng):
+    ds = tiny_dataset
+    w = rng.standard_normal((ds.input_dim, 8)).astype(np.float32)
+    rows = np.repeat(np.arange(ds.num_nodes), np.diff(ds.feature_index.indptr)).astype(np.int32)
+    got = csr_matmul(jnp.asarray(ds.feature_value), jnp.asarray(rows),
+                     jnp.asarray(ds.feature_index.indices), jnp.asarray(w), ds.num_nodes)
+    expected = oracle.sparse_matmul_forward(
+        ds.feature_index.indptr, ds.feature_index.indices,
+        ds.feature_value.astype(np.float64), w.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-4, atol=1e-5)
+    # and equals the dense path
+    dense = ds.dense_features() @ w
+    np.testing.assert_allclose(np.asarray(got), dense, rtol=1e-4, atol=1e-4)

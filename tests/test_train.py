@@ -1,0 +1,120 @@
+"""Training-harness tests: output contract, early stopping, checkpointing, CLI."""
+
+import numpy as np
+import pytest
+
+from cuda_gcn_tpu.config import GCNConfig
+from cuda_gcn_tpu import train as train_mod
+
+
+def test_epoch_line_format(tiny_dataset, capsys):
+    """The per-epoch stdout contract must match gcn.cpp:139-140/152-157 exactly."""
+    cfg = GCNConfig(epochs=2, seed=0)
+    train_mod.run(cfg, tiny_dataset, verbose=True)
+    out = capsys.readouterr().out
+    lines = out.strip().splitlines()
+    import re
+
+    epoch_re = re.compile(
+        r"^epoch=\d+ train_loss=\d+\.\d{5} train_acc=\d+\.\d{5} "
+        r"val_loss=\d+\.\d{5} val_acc=\d+\.\d{5} time=\d+\.\d{5}$")
+    assert epoch_re.match(lines[0]), lines[0]
+    assert epoch_re.match(lines[1]), lines[1]
+    assert re.match(r"^total training time=\d+\.\d{5}$", lines[2]), lines[2]
+    assert re.match(r"^test_loss=\d+\.\d{5} test_acc=\d+\.\d{5} time=\d+\.\d{5}$", lines[3])
+
+
+def test_early_stopping_window(tiny_dataset):
+    """ES semantics (gcn.cpp:142-150): stop when current val loss exceeds the mean
+    of the last `early_stopping` val losses (current included)."""
+    cfg = GCNConfig(epochs=100, early_stopping=5, seed=0, learning_rate=0.5)  # big lr -> bouncy val loss
+    result = train_mod.run(cfg, tiny_dataset, verbose=False)
+    losses = [h["val_loss"] for h in result.history]
+    assert result.epochs_run == len(losses)
+    if result.epochs_run < 100:  # stopped early: verify the rule on the recorded history
+        assert losses[-1] > sum(losses[-5:]) / 5
+        # and the rule never triggered at any earlier epoch
+        for e in range(5, len(losses)):  # e = 1-based epoch index of earlier epochs
+            window = losses[e - 5 : e]
+            assert losses[e - 1] <= sum(window) / 5
+
+
+def test_early_stopping_disabled_runs_all_epochs(tiny_dataset):
+    cfg = GCNConfig(epochs=3, early_stopping=0, seed=0)
+    result = train_mod.run(cfg, tiny_dataset, verbose=False)
+    assert result.epochs_run == 3
+
+
+def test_checkpoint_roundtrip(tiny_dataset, tmp_path):
+    from cuda_gcn_tpu.utils.checkpoint import restore_state, save_state
+
+    cfg = GCNConfig(epochs=2, seed=0)
+    result = train_mod.run(cfg, tiny_dataset, verbose=False)
+    path = str(tmp_path / "ckpt.npz")
+    save_state(path, result.state)
+
+    template = train_mod.create_state(tiny_dataset.apply_config(cfg))
+    restored = restore_state(path, like=template)
+    np.testing.assert_array_equal(np.asarray(restored.params["w1"]),
+                                  np.asarray(result.state.params["w1"]))
+    np.testing.assert_array_equal(np.asarray(restored.opt.m["w2"]),
+                                  np.asarray(result.state.opt.m["w2"]))
+    assert int(restored.opt.step) == int(result.state.opt.step)
+
+    # resuming actually continues training
+    result2 = train_mod.run(cfg, tiny_dataset, verbose=False, initial_state=restored)
+    assert int(result2.state.opt.step) == 4
+
+
+def test_checkpoint_shape_mismatch_raises(tiny_dataset, tmp_path):
+    from cuda_gcn_tpu.utils.checkpoint import restore_state, save_state
+
+    cfg = GCNConfig(epochs=1, seed=0)
+    result = train_mod.run(cfg, tiny_dataset, verbose=False)
+    path = str(tmp_path / "ckpt.npz")
+    save_state(path, result.state)
+    bad_cfg = tiny_dataset.apply_config(GCNConfig(hidden_dim=32))
+    with pytest.raises(ValueError):
+        restore_state(path, like=train_mod.create_state(bad_cfg))
+
+
+def test_reproducible_runs(tiny_dataset):
+    cfg = GCNConfig(epochs=3, seed=42)
+    r1 = train_mod.run(cfg, tiny_dataset, verbose=False)
+    r2 = train_mod.run(cfg, tiny_dataset, verbose=False)
+    assert r1.history[-1]["train_loss"] == r2.history[-1]["train_loss"]
+    assert r1.test_acc == r2.test_acc
+
+
+def test_cli_smoke(tiny_dataset, tmp_path, capsys):
+    from cuda_gcn_tpu.cli import main
+    from cuda_gcn_tpu.data.synthetic import write_dataset
+
+    write_dataset(tiny_dataset, str(tmp_path), "tiny")
+    rc = main(["tiny", "--data-dir", str(tmp_path), "--epochs", "2", "--hidden-dim", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Parse Graph Succeeded." in out
+    assert "epoch=1 " in out
+    assert "test_loss=" in out
+
+
+def test_cli_positional_overrides(tiny_dataset, tmp_path, capsys):
+    from cuda_gcn_tpu.cli import build_argparser, config_from_args
+
+    args = build_argparser().parse_args(
+        ["tiny", "2708", "1433", "32", "7", "0.3", "0.02", "1e-3", "50", "10"])
+    cfg = config_from_args(args)
+    assert cfg.hidden_dim == 32
+    assert cfg.dropout == pytest.approx(0.3)
+    assert cfg.learning_rate == pytest.approx(0.02)
+    assert cfg.weight_decay == pytest.approx(1e-3)
+    assert cfg.epochs == 50
+    assert cfg.early_stopping == 10
+
+
+def test_cli_missing_dataset(tmp_path):
+    from cuda_gcn_tpu.cli import main
+
+    rc = main(["doesnotexist", "--data-dir", str(tmp_path)])
+    assert rc == 1
