@@ -1,0 +1,148 @@
+"""Benchmark harness: full-batch GCN training at reddit scale on one TPU chip.
+
+Headline metric (BASELINE.md): total training time for 100 full-batch epochs on
+the reddit profile (232,965 nodes / 11.6M undirected edges / 602 features / 41
+classes). Reference numbers on that workload (report.pdf §3.3): 595.37 s for the
+sequential C++ engine, 106.24 s for the CUDA engine on a Tesla M60.
+``vs_baseline`` = CUDA-reference time / our time (speedup; >1 is faster).
+
+The reference datasets are external downloads the repo doesn't ship; when
+``data/reddit.*`` is absent this benchmarks the deterministic synthetic
+reddit-profile stand-in (same node/edge/feature/class counts and power-law
+degree skew — the compute shape, which is what the SpMM-bound time measures).
+
+One JSON line on stdout; human-readable detail on stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CUDA_REDDIT_S = 106.23713  # report.pdf §3.3, gcn-cuda on reddit
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def load_bench_dataset(name: str, data_dir: str):
+    from cuda_gcn_tpu.data.parser import load_dataset
+    from cuda_gcn_tpu.data.synthetic import PROFILES, make_synthetic
+
+    real_name = name.removeprefix("synth-")
+    if os.path.exists(os.path.join(data_dir, f"{real_name}.graph")):
+        log(f"using real dataset {real_name} from {data_dir}/")
+        return load_dataset(real_name, data_dir=data_dir), real_name
+    synth = f"synth-{real_name}"
+    if synth not in PROFILES:
+        raise SystemExit(f"no such dataset or profile: {name}")
+    cache = os.path.join(CACHE_DIR, f"{synth}.npz")
+    if os.path.exists(cache):
+        log(f"loading cached {synth}")
+        from cuda_gcn_tpu.data.parser import CSR, GCNDataset
+
+        z = np.load(cache)
+        return GCNDataset(
+            graph=CSR(z["g_indptr"], z["g_indices"]),
+            feature_index=CSR(z["f_indptr"], z["f_indices"]),
+            feature_value=z["f_values"], label=z["label"], split=z["split"],
+            num_nodes=int(z["num_nodes"]), input_dim=int(z["input_dim"]),
+            output_dim=int(z["output_dim"])), synth
+    log(f"generating {synth} (deterministic, seed 0)...")
+    t0 = time.perf_counter()
+    ds = make_synthetic(synth, seed=0)
+    log(f"generated in {time.perf_counter() - t0:.1f}s "
+        f"({ds.num_nodes} nodes, {ds.graph.nnz} nnz incl self-loops)")
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    np.savez(cache, g_indptr=ds.graph.indptr, g_indices=ds.graph.indices,
+             f_indptr=ds.feature_index.indptr, f_indices=ds.feature_index.indices,
+             f_values=ds.feature_value, label=ds.label, split=ds.split,
+             num_nodes=ds.num_nodes, input_dim=ds.input_dim, output_dim=ds.output_dim)
+    return ds, synth
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="reddit")
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--backend", default="ell", choices=["segment", "ell", "pallas", "dense", "auto"])
+    ap.add_argument("--compute-dtype", default="float32")
+    ap.add_argument("--data-dir", default="data")
+    args = ap.parse_args()
+
+    import jax
+
+    from cuda_gcn_tpu.config import GCNConfig
+    from cuda_gcn_tpu import train as train_mod
+
+    dataset, name = load_bench_dataset(args.dataset, args.data_dir)
+    cfg = GCNConfig(epochs=args.epochs, graphsum_backend=args.backend,
+                    compute_dtype=args.compute_dtype, seed=0)
+    cfg, graph, x, truths = train_mod.prepare(cfg, dataset)
+    log(f"device: {jax.devices()[0]}; backend={graph.backend}; "
+        f"nnz={graph.nnz}; dims={cfg.layer_dims()}")
+
+    # warmup epoch: triggers compilation of train+eval (one-time cost, reported
+    # separately; the reference's timer never pays a compile because C++ is AOT)
+    state = train_mod.create_state(cfg)
+    kw = dict(dropout_rate=cfg.dropout, weight_decay=cfg.weight_decay, lr=cfg.learning_rate)
+    t0 = time.perf_counter()
+    state, l0, a0 = train_mod.train_step(state, graph, x, truths[1], **kw)
+    vl, va = train_mod.eval_step(state.params, graph, x, truths[2], weight_decay=cfg.weight_decay)
+    jax.block_until_ready((l0, vl))
+    compile_s = time.perf_counter() - t0
+    log(f"warmup (compile + 1 epoch): {compile_s:.2f}s")
+
+    # measured run: fresh state, same loop as the reference (train + val per epoch)
+    state = train_mod.create_state(cfg)
+    t0 = time.perf_counter()
+    last = None
+    for epoch in range(args.epochs):
+        state, tl, ta = train_mod.train_step(state, graph, x, truths[1], **kw)
+        vl, va = train_mod.eval_step(state.params, graph, x, truths[2], weight_decay=cfg.weight_decay)
+        last = (tl, ta, vl, va)
+    jax.block_until_ready(last)
+    train_s = time.perf_counter() - t0
+
+    test_loss, test_acc = train_mod.eval_step(state.params, graph, x, truths[3],
+                                              weight_decay=cfg.weight_decay)
+    tl, ta, vl, va = (float(v) for v in last)
+    log(f"epoch={args.epochs} train_loss={tl:.5f} train_acc={ta:.5f} "
+        f"val_loss={vl:.5f} val_acc={va:.5f}")
+    log(f"test_loss={float(test_loss):.5f} test_acc={float(test_acc):.5f}")
+    log(f"total training time={train_s:.5f} ({train_s / args.epochs * 1000:.2f} ms/epoch)")
+
+    # edges/s through the graphsum SpMM: 2 layers x (fwd+bwd transpose) per train
+    # epoch + 2 layer fwd per eval epoch = 6 adjacency passes per loop iteration
+    passes = 6 * args.epochs
+    edges_per_s = graph.nnz * passes / train_s
+    log(f"graphsum edge-passes/s: {edges_per_s:,.0f}")
+
+    vs = BASELINE_CUDA_REDDIT_S / train_s if "reddit" in name else float("nan")
+    print(json.dumps({
+        "metric": f"{name}_{args.epochs}ep_train_time",
+        "value": round(train_s, 5),
+        "unit": "s",
+        "vs_baseline": round(vs, 3) if np.isfinite(vs) else None,
+        "detail": {
+            "backend": graph.backend,
+            "compile_s": round(compile_s, 2),
+            "ms_per_epoch": round(train_s / args.epochs * 1000, 3),
+            "spmm_edge_passes_per_s": round(edges_per_s),
+            "test_acc": round(float(test_acc), 5),
+            "baseline_cuda_reddit_s": BASELINE_CUDA_REDDIT_S,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

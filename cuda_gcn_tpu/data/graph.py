@@ -130,10 +130,18 @@ def _ell_pack(rows_sorted: np.ndarray, deg: np.ndarray, col_of: np.ndarray,
         r = len(sel)
         cols = np.zeros((r, width), dtype=np.int32)
         coef = np.zeros((r, width), dtype=np.float32)
-        for i, row in enumerate(sel):
-            lo, hi = indptr[row], indptr[row + 1]
-            cols[i, : hi - lo] = col_of[lo:hi]
-            coef[i, : hi - lo] = coef_of[lo:hi]
+        # vectorized fill: flat slot index = bucket_row * width + within-row slot
+        deg_sel = deg[sel].astype(np.int64)
+        lo = indptr[sel].astype(np.int64)
+        total = int(deg_sel.sum())
+        if total:
+            rep_row = np.repeat(np.arange(r, dtype=np.int64), deg_sel)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(deg_sel) - deg_sel, deg_sel)
+            edge_idx = np.repeat(lo, deg_sel) + within
+            flat = rep_row * width + within
+            cols.reshape(-1)[flat] = col_of[edge_idx]
+            coef.reshape(-1)[flat] = coef_of[edge_idx]
         buckets.append(EllBucket(rows=sel.astype(np.int32), cols=cols, coef=coef, width=width))
     return buckets
 

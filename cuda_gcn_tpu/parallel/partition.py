@@ -1,0 +1,144 @@
+"""Graph partitioner: 1-D node-block partition of Â with halo-exchange metadata.
+
+The reference has NO multi-device story — reddit runs on one GPU and waits
+(SURVEY.md §2.4, report §3.3: 106 s). This layer is the TPU build's scaling axis:
+the graph analog of sequence parallelism. Nodes are split into P contiguous
+blocks (one per device along the mesh's 'graph' axis); each device owns the CSR
+rows of its block. Per layer, edges whose destination lives on another device
+need that device's activations — the *halo*. We precompute, entirely on host:
+
+* per-part local COO (row ids rebased into the block, padded to a uniform Emax)
+  plus its transpose, both sorted, so aggregation stays sorted-segment-sum on
+  every device (no unsorted scatter in the hot path);
+* per-(sender, receiver) send lists: the block-local rows each peer needs,
+  padded to a uniform Hmax → a single static-shape ``all_to_all`` per layer;
+* destination remapping into the local index space
+  ``[own block (B) | halo buffer (P·Hmax)]``.
+
+All shapes are uniform across parts (SPMD requires one static program), padded
+with coefficient-0 edges pointing at the last segment id (keeps segment ids
+sorted) and send-list slot 0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from cuda_gcn_tpu.data.graph import normalization_coefficients
+from cuda_gcn_tpu.data.parser import CSR
+
+
+@dataclasses.dataclass
+class PartitionedGraph:
+    """Host-side (numpy) stacked per-part arrays; leading axis = part."""
+
+    n_parts: int
+    block: int              # B = owned nodes per part (padded)
+    n_nodes: int            # original (unpadded) node count
+    hmax: int               # halo slots per peer
+    emax: int               # edges per part (padded)
+    # local COO per part, sorted by src; src in [0,B), dst in [0, B+P*hmax)
+    src: np.ndarray         # [P, Emax] int32
+    dst: np.ndarray         # [P, Emax] int32
+    coef: np.ndarray        # [P, Emax] float32
+    # local transpose COO per part, sorted by t_src; t_src in [0, B+P*hmax)
+    t_src: np.ndarray       # [P, Emax] int32
+    t_dst: np.ndarray       # [P, Emax] int32
+    t_coef: np.ndarray      # [P, Emax] float32
+    # send_idx[p, r, :] = block-local row ids device p sends to device r
+    send_idx: np.ndarray    # [P, P, Hmax] int32
+
+    @property
+    def n_local(self) -> int:
+        """Size of each device's concatenated [own | halo] activation buffer."""
+        return self.block + self.n_parts * self.hmax
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.n_parts * self.block
+
+    def pad_nodes(self, arr: np.ndarray, fill=0) -> np.ndarray:
+        """Pad a per-node array from n_nodes to P*B along axis 0."""
+        pad = self.padded_nodes - arr.shape[0]
+        if pad == 0:
+            return arr
+        widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+        return np.pad(arr, widths, constant_values=fill)
+
+
+def partition_graph(csr: CSR, n_parts: int) -> PartitionedGraph:
+    """Partition a parsed adjacency CSR (self-loops included) into n_parts blocks."""
+    n = csr.nrows
+    indptr = csr.indptr.astype(np.int64)
+    indices = csr.indices.astype(np.int64)
+    coef = normalization_coefficients(indptr, indices)
+    src = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    dst = indices
+
+    block = -(-n // n_parts)  # ceil
+    owner_of = lambda node: node // block  # noqa: E731
+
+    # --- halo needs: for each (p, q!=p), unique dst in q's block referenced by p's edges
+    e_owner = owner_of(src)
+    d_owner = owner_of(dst)
+    needed: dict[tuple[int, int], np.ndarray] = {}
+    for p in range(n_parts):
+        for q in range(n_parts):
+            if p == q:
+                continue
+            sel = (e_owner == p) & (d_owner == q)
+            needed[(p, q)] = np.unique(dst[sel])
+    hmax = max((len(v) for v in needed.values()), default=0)
+    hmax = max(hmax, 1)  # keep shapes nonzero
+
+    # --- send lists: send_idx[q, p] = block-local ids q must send to p
+    send_idx = np.zeros((n_parts, n_parts, hmax), dtype=np.int32)
+    for (p, q), ids in needed.items():
+        send_idx[q, p, : len(ids)] = (ids - q * block).astype(np.int32)
+
+    # --- per-part local edge lists with halo-remapped dst
+    n_local = block + n_parts * hmax
+    counts = np.bincount(e_owner, minlength=n_parts)
+    emax = max(int(counts.max()), 1)
+
+    src_l = np.full((n_parts, emax), block - 1, dtype=np.int32)
+    dst_l = np.zeros((n_parts, emax), dtype=np.int32)
+    coef_l = np.zeros((n_parts, emax), dtype=np.float32)
+    t_src_l = np.full((n_parts, emax), n_local - 1, dtype=np.int32)
+    t_dst_l = np.zeros((n_parts, emax), dtype=np.int32)
+    t_coef_l = np.zeros((n_parts, emax), dtype=np.float32)
+
+    for p in range(n_parts):
+        sel = e_owner == p
+        s = (src[sel] - p * block).astype(np.int32)
+        d_glob = dst[sel]
+        c = coef[sel]
+        d_own = d_glob // block
+        # local id: own block rows directly; halo rows via position in needed[(p,q)]
+        d_loc = np.empty(len(d_glob), dtype=np.int32)
+        own = d_own == p
+        d_loc[own] = (d_glob[own] - p * block).astype(np.int32)
+        for q in range(n_parts):
+            if q == p:
+                continue
+            m = d_own == q
+            if not m.any():
+                continue
+            pos = np.searchsorted(needed[(p, q)], d_glob[m])
+            d_loc[m] = (block + q * hmax + pos).astype(np.int32)
+        k = len(s)
+        src_l[p, :k], dst_l[p, :k], coef_l[p, :k] = s, d_loc, c  # already src-sorted (CSR order)
+        # transpose: rows = local dst ids, sorted
+        perm = np.argsort(d_loc, kind="stable")
+        t_src_l[p, :k] = d_loc[perm]
+        t_dst_l[p, :k] = s[perm]
+        t_coef_l[p, :k] = c[perm]
+
+    return PartitionedGraph(
+        n_parts=n_parts, block=block, n_nodes=n, hmax=hmax, emax=emax,
+        src=src_l, dst=dst_l, coef=coef_l,
+        t_src=t_src_l, t_dst=t_dst_l, t_coef=t_coef_l,
+        send_idx=send_idx,
+    )

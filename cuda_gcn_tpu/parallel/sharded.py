@@ -1,0 +1,231 @@
+"""SPMD sharded training over a device mesh: halo-exchange GCN with shard_map.
+
+The multi-chip execution layer the reference never had (its only parallelism is
+CUDA grids on one GPU, SURVEY.md §2.4). Design:
+
+* 1-D mesh axis ``'graph'``: node blocks (data/sequence-parallel analog). Each
+  device owns a [B, d] slab of activations and its block's edges
+  (see parallel/partition.py).
+* Per GCN layer: (1) gather the rows each peer needs, (2) one static-shape
+  ``all_to_all`` over ICI exchanges boundary features, (3) sorted-segment
+  aggregation over local edges whose destinations index the concatenated
+  ``[own | halo]`` buffer. XLA overlaps the collective with the independent
+  dense matmul / local compute where the dependence structure allows.
+* Weights are replicated (they are tiny: F×16, 16×C); their gradients emerge
+  correctly via shard_map's replication rules when ``jax.grad`` is taken
+  *outside* the shard_mapped loss. The loss itself reduces with ``psum`` so the
+  returned scalar is replicated.
+* Backward: the local aggregation reverses through the precomputed local
+  transpose (sorted), the ``all_to_all`` transposes to the opposite
+  ``all_to_all``, and the send-gather transposes to a small scatter-add over
+  halo rows only — all derived by autodiff, no hand-written backward pass.
+
+This module is exercised on an 8-device virtual CPU mesh in tests and by
+``__graft_entry__.dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cuda_gcn_tpu.config import GCNConfig
+from cuda_gcn_tpu.data.graph import Graph
+from cuda_gcn_tpu.data.parser import GCNDataset
+from cuda_gcn_tpu.ops import adam
+from cuda_gcn_tpu.ops.dropout import dropout
+from cuda_gcn_tpu.ops.graphsum import graphsum
+from cuda_gcn_tpu.ops.loss import l2_penalty
+from cuda_gcn_tpu.parallel.partition import PartitionedGraph, partition_graph
+
+GRAPH_AXIS = "graph"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=(GRAPH_AXIS,))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ShardedInputs:
+    """Device-stacked inputs; every array's leading axis is the part axis."""
+
+    src: jnp.ndarray       # [P, Emax]
+    dst: jnp.ndarray       # [P, Emax]
+    coef: jnp.ndarray      # [P, Emax]
+    t_src: jnp.ndarray     # [P, Emax]
+    t_dst: jnp.ndarray     # [P, Emax]
+    t_coef: jnp.ndarray    # [P, Emax]
+    send_idx: jnp.ndarray  # [P, P, Hmax]
+    x: jnp.ndarray         # [P*B, F]
+    block: int
+    hmax: int
+    n_local: int
+
+    def tree_flatten(self):
+        return ((self.src, self.dst, self.coef, self.t_src, self.t_dst, self.t_coef,
+                 self.send_idx, self.x), (self.block, self.hmax, self.n_local))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, block=aux[0], hmax=aux[1], n_local=aux[2])
+
+
+def _local_graph(src, dst, coef, t_src, t_dst, t_coef, n_local: int) -> Graph:
+    """Wrap one part's local COO (+transpose) as a Graph for the graphsum op."""
+    return Graph(src=src, dst=dst, coef=coef, t_src=t_src, t_dst=t_dst, t_coef=t_coef,
+                 ell_fwd=(), ell_bwd=(), adj=None, n_nodes=n_local, symmetric=False,
+                 backend="segment")
+
+
+def halo_graphsum(own_h: jnp.ndarray, graph: Graph, send_idx: jnp.ndarray,
+                  block: int, hmax: int) -> jnp.ndarray:
+    """One sharded aggregation: exchange halo rows, aggregate local edges.
+
+    own_h: [B, d] this device's activation slab. send_idx: [P, Hmax] block-local
+    rows to ship to each peer. Returns [B, d] aggregated rows for owned nodes.
+    """
+    p = jax.lax.axis_size(GRAPH_AXIS)
+    d = own_h.shape[1]
+    send = own_h[send_idx.reshape(-1)].reshape(p, hmax, d)
+    recv = jax.lax.all_to_all(send, GRAPH_AXIS, split_axis=0, concat_axis=0)
+    hx = jnp.concatenate([own_h, recv.reshape(p * hmax, d)], axis=0)  # [n_local, d]
+    return graphsum(hx, graph)[:block]
+
+
+def _per_device_forward(params, inputs: ShardedInputs, key, dropout_rate, training):
+    """The SPMD program for one device: full GCN forward on the local slab.
+
+    Note: ``inputs.x`` is already the local [B, F] slab here — the shard_map
+    in_spec splits its global [P*B, F] leading axis across the graph axis.
+    """
+    src, dst, coef = inputs.src[0], inputs.dst[0], inputs.coef[0]
+    t_src, t_dst, t_coef = inputs.t_src[0], inputs.t_dst[0], inputs.t_coef[0]
+    send_idx = inputs.send_idx[0]
+    graph = _local_graph(src, dst, coef, t_src, t_dst, t_coef, inputs.n_local)
+
+    n_layers = len(params)
+    if training and key is not None:
+        # distinct dropout streams per device
+        key = jax.random.fold_in(key, jax.lax.axis_index(GRAPH_AXIS))
+        keys = jax.random.split(key, n_layers)
+    else:
+        keys = [None] * n_layers
+
+    h = inputs.x
+    for i in range(n_layers):
+        h = dropout(h, dropout_rate, keys[i], training)
+        h = jnp.dot(h, params[f"w{i + 1}"], preferred_element_type=jnp.float32).astype(h.dtype)
+        h = halo_graphsum(h, graph, send_idx, inputs.block, inputs.hmax)
+        if i < n_layers - 1:
+            h = jnp.maximum(h, 0.0)
+    return h  # [B, C] local logits
+
+
+def _per_device_loss(params, inputs: ShardedInputs, truth_local, key,
+                     dropout_rate, training):
+    """Replicated (psum-reduced) masked CE + strict accuracy over all devices."""
+    logits = _per_device_forward(params, inputs, key, dropout_rate, training)
+    truth = truth_local
+    mask = truth >= 0
+    safe_truth = jnp.where(mask, truth, 0)
+    logits32 = logits.astype(jnp.float32)
+    shifted = logits32 - jax.lax.stop_gradient(jnp.max(logits32, axis=1, keepdims=True))
+    log_z = jnp.log(jnp.sum(jnp.exp(shifted), axis=1))
+    per_node = log_z - jnp.take_along_axis(shifted, safe_truth[:, None], axis=1)[:, 0]
+    ce_sum = jax.lax.psum(jnp.sum(jnp.where(mask, per_node, 0.0)), GRAPH_AXIS)
+    count = jax.lax.psum(jnp.sum(mask), GRAPH_AXIS)
+    loss = ce_sum / count
+
+    truth_logit = jnp.take_along_axis(logits, safe_truth[:, None], axis=1)[:, 0]
+    correct = jnp.max(logits, axis=1) <= truth_logit
+    acc = jax.lax.psum(jnp.sum(jnp.where(mask, correct, False).astype(jnp.float32)),
+                       GRAPH_AXIS) / count
+    return loss, acc
+
+
+def sharded_loss_fn(mesh: Mesh, params, inputs: ShardedInputs, truth, key,
+                    *, dropout_rate: float, weight_decay: float, training: bool):
+    """shard_map-wrapped loss; differentiable in params. truth: [P*B] global."""
+    spec_inputs = ShardedInputs(
+        src=P(GRAPH_AXIS), dst=P(GRAPH_AXIS), coef=P(GRAPH_AXIS),
+        t_src=P(GRAPH_AXIS), t_dst=P(GRAPH_AXIS), t_coef=P(GRAPH_AXIS),
+        send_idx=P(GRAPH_AXIS), x=P(GRAPH_AXIS),
+        block=inputs.block, hmax=inputs.hmax, n_local=inputs.n_local)
+
+    fn = jax.shard_map(
+        partial(_per_device_loss, dropout_rate=dropout_rate, training=training),
+        mesh=mesh,
+        in_specs=(P(), spec_inputs, P(GRAPH_AXIS), P()),
+        out_specs=(P(), P()),
+    )
+    loss, acc = fn(params, inputs, truth, key)
+    return loss + l2_penalty(params["w1"], weight_decay), acc
+
+
+def make_sharded_inputs(pg: PartitionedGraph, x: np.ndarray, mesh: Mesh) -> ShardedInputs:
+    """Device-put the stacked partition arrays with the right shardings."""
+    sh = NamedSharding(mesh, P(GRAPH_AXIS))
+
+    def put(a):
+        return jax.device_put(jnp.asarray(a), sh)
+
+    return ShardedInputs(
+        src=put(pg.src), dst=put(pg.dst), coef=put(pg.coef),
+        t_src=put(pg.t_src), t_dst=put(pg.t_dst), t_coef=put(pg.t_coef),
+        send_idx=put(pg.send_idx), x=put(pg.pad_nodes(x)),
+        block=pg.block, hmax=pg.hmax, n_local=pg.n_local)
+
+
+def make_sharded_train_step(mesh: Mesh, cfg: GCNConfig):
+    """Jitted multi-device train step (donated state), mirroring train.train_step."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, inputs: ShardedInputs, truth):
+        key, subkey = jax.random.split(state.key)
+        (loss, acc), grads = jax.value_and_grad(
+            lambda p: sharded_loss_fn(mesh, p, inputs, truth, subkey,
+                                      dropout_rate=cfg.dropout,
+                                      weight_decay=cfg.weight_decay, training=True),
+            has_aux=True)(state.params)
+        params, opt = adam.apply(state.params, grads, state.opt,
+                                 adam.AdamParams(lr=cfg.learning_rate))
+        from cuda_gcn_tpu.train import TrainState
+
+        return TrainState(params=params, opt=opt, key=key), loss, acc
+
+    return step
+
+
+def make_sharded_eval_step(mesh: Mesh, cfg: GCNConfig):
+    @jax.jit
+    def step(params, inputs: ShardedInputs, truth):
+        # dummy key: unused in eval mode, but keeps the shard_map arg structure static
+        return sharded_loss_fn(mesh, params, inputs, truth, jax.random.PRNGKey(0),
+                               dropout_rate=0.0, weight_decay=cfg.weight_decay,
+                               training=False)
+
+    return step
+
+
+def prepare_sharded(cfg: GCNConfig, dataset: GCNDataset, mesh: Mesh):
+    """Partition + device-put a dataset for the mesh. Returns (cfg, inputs, truths)."""
+    cfg = dataset.apply_config(cfg)
+    pg = partition_graph(dataset.graph, mesh.shape[GRAPH_AXIS])
+    x = dataset.dense_features(np.dtype(cfg.compute_dtype))
+    inputs = make_sharded_inputs(pg, x, mesh)
+    sh = NamedSharding(mesh, P(GRAPH_AXIS))
+    truths = {}
+    for s in (1, 2, 3):
+        t = np.where(dataset.split == s, dataset.label, -1).astype(np.int32)
+        truths[s] = jax.device_put(jnp.asarray(pg.pad_nodes(t, fill=-1)), sh)
+    return cfg, inputs, truths

@@ -1,0 +1,111 @@
+"""Distribution-layer tests on the 8-device virtual CPU mesh: partitioner edge
+coverage, sharded forward == single-device forward, sharded training step ==
+single-device training step (allclose)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_gcn_tpu.config import GCNConfig
+from cuda_gcn_tpu.data.graph import build_graph
+from cuda_gcn_tpu.models import gcn
+from cuda_gcn_tpu.parallel import sharded
+from cuda_gcn_tpu.parallel.partition import partition_graph
+from cuda_gcn_tpu import train as train_mod
+
+
+@pytest.fixture(scope="module", params=[2, 8])
+def mesh(request):
+    assert jax.device_count() >= request.param
+    return sharded.make_mesh(request.param)
+
+
+def test_partition_covers_all_edges(tiny_dataset):
+    ds = tiny_dataset
+    pg = partition_graph(ds.graph, 4)
+    # every real edge appears exactly once across parts with its coefficient
+    total_real = int((pg.coef > 0).sum())
+    assert total_real == ds.graph.nnz
+    # reconstruct global (src, dst) pairs from local ids and compare sets
+    got = set()
+    for p in range(pg.n_parts):
+        for e in range(pg.emax):
+            c = pg.coef[p, e]
+            if c == 0:
+                continue
+            gsrc = pg.src[p, e] + p * pg.block
+            dloc = pg.dst[p, e]
+            if dloc < pg.block:
+                gdst = dloc + p * pg.block
+            else:
+                q, pos = divmod(dloc - pg.block, pg.hmax)
+                # recover from send structure: q sent its send_idx[q, p, pos] row
+                gdst = pg.send_idx[q, p, pos] + q * pg.block
+            got.add((int(gsrc), int(gdst)))
+    expected = set()
+    for i in range(ds.num_nodes):
+        for e in range(ds.graph.indptr[i], ds.graph.indptr[i + 1]):
+            expected.add((i, int(ds.graph.indices[e])))
+    assert got == expected
+
+
+def test_sharded_forward_matches_single(tiny_dataset, mesh):
+    ds = tiny_dataset
+    cfg = ds.apply_config(GCNConfig(hidden_dim=8))
+    params = gcn.init_params(jax.random.PRNGKey(3), cfg.layer_dims())
+
+    graph = build_graph(ds.graph, backend="segment")
+    x = jnp.asarray(ds.dense_features())
+    logits_single = gcn.apply(params, graph, x, training=False)
+
+    cfg2, inputs, truths = sharded.prepare_sharded(cfg, ds, mesh)
+    eval_step = sharded.make_sharded_eval_step(mesh, cfg2)
+    truth = train_mod.make_truth(ds.split, ds.label, 3)
+
+    loss_sharded, acc_sharded = eval_step(params, inputs, truths[3])
+    loss_single, acc_single = train_mod.eval_step(
+        params, graph, x, truth, weight_decay=cfg.weight_decay)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_single), rtol=1e-5)
+    np.testing.assert_allclose(float(acc_sharded), float(acc_single), rtol=1e-6)
+
+
+def test_sharded_train_step_matches_single(tiny_dataset, mesh):
+    """One no-dropout training step must produce identical weights to the
+    single-device path (same grads through halo exchange + transposes)."""
+    ds = tiny_dataset
+    cfg = ds.apply_config(GCNConfig(hidden_dim=8, dropout=0.0, learning_rate=0.05))
+
+    state_a = train_mod.create_state(cfg)
+    state_b = jax.tree_util.tree_map(jnp.copy, state_a)
+
+    graph = build_graph(ds.graph, backend="segment")
+    x = jnp.asarray(ds.dense_features())
+    truth = train_mod.make_truth(ds.split, ds.label, 1)
+    state_a, loss_a, acc_a = train_mod.train_step(
+        state_a, graph, x, truth, dropout_rate=0.0,
+        weight_decay=cfg.weight_decay, lr=cfg.learning_rate)
+
+    cfg2, inputs, truths = sharded.prepare_sharded(cfg, ds, mesh)
+    step = sharded.make_sharded_train_step(mesh, cfg2)
+    state_b, loss_b, acc_b = step(state_b, inputs, truths[1])
+
+    np.testing.assert_allclose(float(loss_b), float(loss_a), rtol=1e-5)
+    np.testing.assert_allclose(float(acc_b), float(acc_a), rtol=1e-6)
+    for k in state_a.params:
+        np.testing.assert_allclose(np.asarray(state_b.params[k]),
+                                   np.asarray(state_a.params[k]), rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_training_converges(tiny_dataset, mesh):
+    ds = tiny_dataset
+    cfg = ds.apply_config(GCNConfig(hidden_dim=16, epochs=40))
+    cfg2, inputs, truths = sharded.prepare_sharded(cfg, ds, mesh)
+    state = train_mod.create_state(cfg2)
+    step = sharded.make_sharded_train_step(mesh, cfg2)
+    eval_step = sharded.make_sharded_eval_step(mesh, cfg2)
+    for _ in range(40):
+        state, loss, acc = step(state, inputs, truths[1])
+    test_loss, test_acc = eval_step(state.params, inputs, truths[3])
+    assert float(acc) > 0.9
+    assert float(test_acc) > 0.5
