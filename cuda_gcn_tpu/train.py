@@ -68,9 +68,8 @@ def make_truth(split: np.ndarray, label: np.ndarray, current_split: int) -> jnp.
     return jnp.asarray(np.where(split == current_split, label, -1).astype(np.int32))
 
 
-@partial(jax.jit, static_argnames=("dropout_rate", "weight_decay", "lr"), donate_argnums=(0,))
-def train_step(state: TrainState, graph: Graph, x: jnp.ndarray, truth: jnp.ndarray,
-               *, dropout_rate: float, weight_decay: float, lr: float):
+def _train_epoch_core(state: TrainState, graph: Graph, x, truth, *,
+                      dropout_rate: float, weight_decay: float, lr: float):
     """One full-batch step: forward (training mode) + grads + Adam. Returns
     (new_state, train_loss, train_acc) — loss/acc at the *pre-step* weights,
     measured on the dropout-active forward, like train_epoch (gcn.cpp:107-118)."""
@@ -83,11 +82,47 @@ def train_step(state: TrainState, graph: Graph, x: jnp.ndarray, truth: jnp.ndarr
     return TrainState(params=params, opt=opt, key=key), loss, acc
 
 
+def _eval_core(params, graph: Graph, x, truth, *, weight_decay: float):
+    loss, (_, acc) = gcn.loss_fn(params, graph, x, truth, weight_decay=weight_decay, training=False)
+    return loss, acc
+
+
+@partial(jax.jit, static_argnames=("dropout_rate", "weight_decay", "lr"), donate_argnums=(0,))
+def train_step(state: TrainState, graph: Graph, x: jnp.ndarray, truth: jnp.ndarray,
+               *, dropout_rate: float, weight_decay: float, lr: float):
+    return _train_epoch_core(state, graph, x, truth, dropout_rate=dropout_rate,
+                             weight_decay=weight_decay, lr=lr)
+
+
 @partial(jax.jit, static_argnames=("weight_decay",))
 def eval_step(params, graph: Graph, x: jnp.ndarray, truth: jnp.ndarray, *, weight_decay: float):
     """Evaluation forward (training=false): returns (loss_incl_l2, acc) (gcn.cpp:120-128)."""
-    loss, (_, acc) = gcn.loss_fn(params, graph, x, truth, weight_decay=weight_decay, training=False)
-    return loss, acc
+    return _eval_core(params, graph, x, truth, weight_decay=weight_decay)
+
+
+@partial(jax.jit, static_argnames=("epochs", "dropout_rate", "weight_decay", "lr"),
+         donate_argnums=(0,))
+def run_epochs(state: TrainState, graph: Graph, x: jnp.ndarray,
+               truth_train: jnp.ndarray, truth_val: jnp.ndarray, *,
+               epochs: int, dropout_rate: float, weight_decay: float, lr: float):
+    """Fused epoch loop: ``epochs`` (train + validation) iterations in ONE device
+    program via lax.scan — no per-epoch host dispatch (which costs ~25 ms/epoch
+    over a tunneled device). Returns (state, stacked per-epoch metrics).
+
+    Used when early stopping is disabled (the reference default,
+    gcn.cpp:142-150 with early_stopping=0); exact per-epoch semantics otherwise
+    require a host-side decision between epochs.
+    """
+
+    def body(state, _):
+        state, tl, ta = _train_epoch_core(state, graph, x, truth_train,
+                                          dropout_rate=dropout_rate,
+                                          weight_decay=weight_decay, lr=lr)
+        vl, va = _eval_core(state.params, graph, x, truth_val, weight_decay=weight_decay)
+        return state, (tl, ta, vl, va)
+
+    state, metrics = jax.lax.scan(body, state, None, length=epochs)
+    return state, metrics
 
 
 @dataclasses.dataclass
@@ -120,26 +155,47 @@ def run(cfg: GCNConfig, dataset: GCNDataset, verbose: bool = True,
     history: list[dict] = []
     loss_history: list[float] = []
     epochs_run = 0
-    for epoch in range(1, cfg.epochs + 1):
+    if cfg.early_stopping <= 0 and cfg.epochs > 1:
+        # fused path: all epochs in one device program (no per-epoch dispatch)
         timers.start(TMR_TRAIN)
-        state, train_loss, train_acc = train_step(state, graph, x, truths[1], **step_kwargs)
-        val_loss, val_acc = eval_step(state.params, graph, x, truths[2], weight_decay=cfg.weight_decay)
-        epoch_time = timers.stop(TMR_TRAIN, sync=(train_loss, val_loss))
-        train_loss, train_acc, val_loss, val_acc = (
-            float(train_loss), float(train_acc), float(val_loss), float(val_acc))
-        epochs_run = epoch
-        if verbose:
-            print(f"epoch={epoch} train_loss={train_loss:.5f} train_acc={train_acc:.5f} "
-                  f"val_loss={val_loss:.5f} val_acc={val_acc:.5f} time={epoch_time:.5f}")
-        history.append(dict(epoch=epoch, train_loss=train_loss, train_acc=train_acc,
-                            val_loss=val_loss, val_acc=val_acc, time=epoch_time))
-        loss_history.append(val_loss)
-        if cfg.early_stopping > 0 and epoch >= cfg.early_stopping:
-            recent = loss_history[epoch - cfg.early_stopping : epoch]
-            if val_loss > sum(recent) / cfg.early_stopping:
-                if verbose:
-                    print("Early stopping...")
-                break
+        state, metrics = run_epochs(state, graph, x, truths[1], truths[2],
+                                    epochs=cfg.epochs, **step_kwargs)
+        metrics = [np.asarray(m) for m in metrics]  # materializes (= device sync)
+        total_time = timers.stop(TMR_TRAIN)
+        per_epoch = total_time / cfg.epochs
+        for epoch in range(1, cfg.epochs + 1):
+            train_loss, train_acc, val_loss, val_acc = (float(m[epoch - 1]) for m in metrics)
+            if verbose:
+                print(f"epoch={epoch} train_loss={train_loss:.5f} train_acc={train_acc:.5f} "
+                      f"val_loss={val_loss:.5f} val_acc={val_acc:.5f} time={per_epoch:.5f}")
+            history.append(dict(epoch=epoch, train_loss=train_loss, train_acc=train_acc,
+                                val_loss=val_loss, val_acc=val_acc, time=per_epoch))
+            loss_history.append(val_loss)
+        epochs_run = cfg.epochs
+    else:
+        for epoch in range(1, cfg.epochs + 1):
+            timers.start(TMR_TRAIN)
+            state, train_loss, train_acc = train_step(state, graph, x, truths[1], **step_kwargs)
+            val_loss, val_acc = eval_step(state.params, graph, x, truths[2],
+                                          weight_decay=cfg.weight_decay)
+            # materialize before stopping the clock (block_until_ready alone is
+            # unreliable over the tunneled backend)
+            train_loss, train_acc, val_loss, val_acc = (
+                float(train_loss), float(train_acc), float(val_loss), float(val_acc))
+            epoch_time = timers.stop(TMR_TRAIN)
+            epochs_run = epoch
+            if verbose:
+                print(f"epoch={epoch} train_loss={train_loss:.5f} train_acc={train_acc:.5f} "
+                      f"val_loss={val_loss:.5f} val_acc={val_acc:.5f} time={epoch_time:.5f}")
+            history.append(dict(epoch=epoch, train_loss=train_loss, train_acc=train_acc,
+                                val_loss=val_loss, val_acc=val_acc, time=epoch_time))
+            loss_history.append(val_loss)
+            if cfg.early_stopping > 0 and epoch >= cfg.early_stopping:
+                recent = loss_history[epoch - cfg.early_stopping : epoch]
+                if val_loss > sum(recent) / cfg.early_stopping:
+                    if verbose:
+                        print("Early stopping...")
+                    break
 
     total = timers.total(TMR_TRAIN)
     if verbose:
@@ -147,8 +203,8 @@ def run(cfg: GCNConfig, dataset: GCNDataset, verbose: bool = True,
 
     timers.start(TMR_TEST)
     test_loss, test_acc = eval_step(state.params, graph, x, truths[3], weight_decay=cfg.weight_decay)
-    test_time = timers.stop(TMR_TEST, sync=(test_loss, test_acc))
     test_loss, test_acc = float(test_loss), float(test_acc)
+    test_time = timers.stop(TMR_TEST)
     if verbose:
         print(f"test_loss={test_loss:.5f} test_acc={test_acc:.5f} time={test_time:.5f}")
 
