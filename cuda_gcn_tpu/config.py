@@ -37,7 +37,8 @@ class GCNConfig:
     # --- TPU-build extensions (no reference analog) ---
     seed: int = 0                      # PRNG seed (reference seeds from time(); we are reproducible)
     hidden_dims: tuple[int, ...] | None = None  # override for >2-layer GCNs; None => (hidden_dim,)
-    graphsum_backend: str = "auto"     # 'auto' | 'segment' | 'ell' | 'pallas' | 'dense'
+    graphsum_backend: str = "auto"     # 'auto' | 'segment' | 'ell' | 'pallas' | 'dense' | 'bsr'
+    reorder: str = "auto"              # 'auto' (locality reorder for bsr) | 'none'
     feature_matmul: str = "dense"      # 'dense' (MXU) | 'sparse' (CSR values, reference-style)
     param_dtype: str = "float32"       # parameter dtype
     compute_dtype: str = "float32"     # activation dtype ('bfloat16' for MXU speed)

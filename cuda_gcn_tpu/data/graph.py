@@ -64,9 +64,16 @@ class Graph:
     ell_fwd: tuple         # tuple[EllBucketDev, ...]
     ell_bwd: tuple
     adj: jnp.ndarray | None  # dense [N, N] Â for the 'dense' backend (small graphs)
-    n_nodes: int
-    symmetric: bool        # True when edge set is symmetric (undirected input)
-    backend: str = "segment"  # static: 'segment' | 'ell' | 'pallas' | 'dense'
+    # Block-sparse (BSR) dense tiles for the 'bsr' backend. When backend == 'bsr',
+    # the COO fields above hold ONLY the residual edges not covered by tiles.
+    bsr_tiles: jnp.ndarray | None = None  # [K, TB, TB] tile values
+    bsr_rows: jnp.ndarray | None = None   # [K] block-row ids (sorted)
+    bsr_cols: jnp.ndarray | None = None   # [K] block-col ids
+    bsr_tb: int = 0                       # static tile size
+    bsr_nblocks: int = 0                  # static T = padded_nodes // TB
+    n_nodes: int = 0
+    symmetric: bool = True  # True when edge set is symmetric (undirected input)
+    backend: str = "segment"  # static: 'segment' | 'ell' | 'pallas' | 'dense' | 'bsr'
 
     @property
     def nnz(self) -> int:
@@ -77,13 +84,18 @@ class Graph:
 
     def tree_flatten(self):
         leaves = (self.src, self.dst, self.coef, self.t_src, self.t_dst, self.t_coef,
-                  self.ell_fwd, self.ell_bwd, self.adj)
-        return leaves, (self.n_nodes, self.symmetric, self.backend)
+                  self.ell_fwd, self.ell_bwd, self.adj,
+                  self.bsr_tiles, self.bsr_rows, self.bsr_cols)
+        return leaves, (self.n_nodes, self.symmetric, self.backend,
+                        self.bsr_tb, self.bsr_nblocks)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        src, dst, coef, t_src, t_dst, t_coef, ell_fwd, ell_bwd, adj = leaves
+        (src, dst, coef, t_src, t_dst, t_coef, ell_fwd, ell_bwd, adj,
+         bsr_tiles, bsr_rows, bsr_cols) = leaves
         return cls(src, dst, coef, t_src, t_dst, t_coef, ell_fwd, ell_bwd, adj,
+                   bsr_tiles=bsr_tiles, bsr_rows=bsr_rows, bsr_cols=bsr_cols,
+                   bsr_tb=aux[3], bsr_nblocks=aux[4],
                    n_nodes=aux[0], symmetric=aux[1], backend=aux[2])
 
 
@@ -166,27 +178,37 @@ def _coo_to_csr(rows_sorted: np.ndarray, n: int) -> np.ndarray:
     return indptr
 
 
-# 'auto' backend: dense MXU matmul below this node count, ELL gather-scan above.
+# 'auto' backend: dense MXU matmul below this node count; block-sparse tiles
+# (dense MXU tiles + COO residual) above.
 DENSE_BACKEND_MAX_NODES = 8192
+BSR_DEFAULT_TILE = 1024
+BSR_DEFAULT_BUDGET_BYTES = 4 << 30
 
 
-def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto") -> Graph:
+def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
+                bsr_tile: int = BSR_DEFAULT_TILE, bsr_min_edges: int | None = None,
+                bsr_budget_bytes: int = BSR_DEFAULT_BUDGET_BYTES) -> Graph:
     """Construct the device Graph from a parsed adjacency CSR (self-loops included)."""
     n = csr.nrows
     if backend == "auto":
-        backend = "dense" if n <= DENSE_BACKEND_MAX_NODES else "ell"
+        backend = "dense" if n <= DENSE_BACKEND_MAX_NODES else "bsr"
     indptr = csr.indptr.astype(np.int64)
     indices = csr.indices.astype(np.int64)
     coef = normalization_coefficients(indptr, indices)
     src = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
     dst = indices
 
-    t_src, t_dst, t_coef = _transpose_coo(src, dst, coef)
-
     # symmetry check (pattern): transpose edge set equals forward edge set
     fwd_key = src * n + dst
-    t_key = t_dst * n + t_src
-    symmetric = bool(np.array_equal(np.sort(fwd_key), np.sort(t_key)))
+    symmetric = bool(np.array_equal(np.sort(fwd_key), np.sort(dst * n + src)))
+
+    bsr = None
+    if backend == "bsr":
+        bsr, keep_residual = _select_bsr_tiles(
+            src, dst, coef, n, bsr_tile, bsr_min_edges, bsr_budget_bytes)
+        src, dst, coef = src[keep_residual], dst[keep_residual], coef[keep_residual]
+
+    t_src, t_dst, t_coef = _transpose_coo(src, dst, coef)
 
     ell_fwd: tuple = ()
     ell_bwd: tuple = ()
@@ -208,7 +230,15 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto") -> Graph
         np.add.at(dense, (src, dst), coef)
         adj = jnp.asarray(dense)
 
+    bsr_kwargs: dict = {}
+    if bsr is not None:
+        tiles, rows, cols, tb, nblocks = bsr
+        bsr_kwargs = dict(
+            bsr_tiles=jnp.asarray(tiles), bsr_rows=jnp.asarray(rows),
+            bsr_cols=jnp.asarray(cols), bsr_tb=tb, bsr_nblocks=nblocks)
+
     return Graph(
+        **bsr_kwargs,
         src=jnp.asarray(src, jnp.int32),
         dst=jnp.asarray(dst, jnp.int32),
         coef=jnp.asarray(coef),
@@ -222,6 +252,53 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto") -> Graph
         symmetric=symmetric,
         backend=backend,
     )
+
+
+def _select_bsr_tiles(src, dst, coef, n, tb, min_edges, budget_bytes):
+    """Pick the densest [tb x tb] tiles of Â and materialize them as dense blocks.
+
+    The 'bsr' backend's cost model (measured on the target chip, see
+    scripts/bench_ops.py history): a random-row gather pays a ~512-byte HBM
+    transaction per edge regardless of feature width, while dense tiles stream
+    at full bandwidth and multiply on the MXU. A tile is worth densifying when
+    its edge count exceeds roughly tile_bytes / 512 — i.e. when dense streaming
+    moves fewer bytes than the residual gathers it replaces.
+
+    Returns ((tiles [K,tb,tb] f32, rows [K], cols [K] sorted by (row,col), tb, T),
+             keep_mask for residual edges).
+    """
+    t_blocks = -(-n // tb)
+    tile_r = src // tb
+    tile_c = dst // tb
+    tile_id = tile_r * t_blocks + tile_c
+    counts = np.bincount(tile_id, minlength=t_blocks * t_blocks)
+    if min_edges is None:
+        min_edges = max((tb * tb * 4) // 512, 1)
+    candidates = np.flatnonzero(counts >= min_edges)
+    # budget cap: densest first
+    max_tiles = max(int(budget_bytes // (tb * tb * 4)), 0)
+    if len(candidates) > max_tiles:
+        order = np.argsort(-counts[candidates], kind="stable")
+        candidates = candidates[order[:max_tiles]]
+    candidates = np.sort(candidates)  # (row, col) sorted -> sorted block rows
+    k = len(candidates)
+    if k == 0:
+        return (np.zeros((0, tb, tb), np.float32), np.zeros(0, np.int32),
+                np.zeros(0, np.int32), tb, t_blocks), np.ones(len(src), dtype=bool)
+
+    rank_of = np.full(t_blocks * t_blocks, -1, dtype=np.int64)
+    rank_of[candidates] = np.arange(k)
+    edge_rank = rank_of[tile_id]
+    in_tile = edge_rank >= 0
+
+    tiles = np.zeros((k, tb, tb), dtype=np.float32)
+    flat = (edge_rank[in_tile] * tb * tb
+            + (src[in_tile] % tb) * tb + (dst[in_tile] % tb))
+    np.add.at(tiles.reshape(-1), flat, coef[in_tile])
+
+    rows = (candidates // t_blocks).astype(np.int32)
+    cols = (candidates % t_blocks).astype(np.int32)
+    return (tiles, rows, cols, tb, t_blocks), ~in_tile
 
 
 def dense_adjacency(graph: Graph) -> jnp.ndarray:

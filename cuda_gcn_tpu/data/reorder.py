@@ -1,0 +1,128 @@
+"""Locality-aware node reordering: label propagation + cluster-major relabeling.
+
+Why this exists (TPU-first design, no reference analog): on TPU, per-edge
+gather/scatter costs ~10 cycles per edge regardless of feature width — the VPU
+cannot vectorize random row access. The escape hatch is the MXU: if node ids are
+relabeled so communities are contiguous, most edges fall into a few dense
+diagonal blocks of Â, which the 'bsr' graphsum backend materializes as dense
+tiles and multiplies at matmul speed (see data/graph.py build_bsr). This module
+produces that ordering:
+
+1. label propagation (a few vectorized rounds): each node adopts its most
+   common neighbor label — cheap O(E log E) numpy per round, no METIS needed;
+2. final order: cluster-major (clusters sorted by size, descending), preserving
+   original id order within a cluster.
+
+Training metrics are permutation-invariant (masked CE / accuracy are sums over
+nodes), so reordering the whole dataset is semantics-preserving; the inverse
+permutation is kept for mapping per-node outputs back to original ids.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from cuda_gcn_tpu.data.parser import CSR, GCNDataset
+
+
+def label_propagation(indptr: np.ndarray, indices: np.ndarray, rounds: int = 4,
+                      seed_labels: np.ndarray | None = None) -> np.ndarray:
+    """Synchronous LPA: per round, each node takes the modal label among its
+    neighbors (ties -> smallest label; isolated nodes keep their label)."""
+    n = len(indptr) - 1
+    labels = seed_labels.copy() if seed_labels is not None else np.arange(n, dtype=np.int64)
+    src = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    dst = indices.astype(np.int64)
+    for _ in range(rounds):
+        lab = labels[dst]
+        order = np.lexsort((lab, src))
+        s, l = src[order], lab[order]
+        if len(s) == 0:
+            break
+        new_run = np.empty(len(s), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (s[1:] != s[:-1]) | (l[1:] != l[:-1])
+        run_ids = np.cumsum(new_run) - 1
+        counts = np.bincount(run_ids)
+        run_src = s[new_run]
+        run_lab = l[new_run]
+        # per src: highest count wins; ties -> smaller label (lexsort is stable
+        # and runs are already label-ascending within src)
+        pick = np.lexsort((-counts, run_src))
+        first = np.empty(len(pick), dtype=bool)
+        rs = run_src[pick]
+        first[0] = True
+        first[1:] = rs[1:] != rs[:-1]
+        new_labels = labels.copy()
+        new_labels[rs[first]] = run_lab[pick][first]
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+    return labels
+
+
+def cluster_order(labels: np.ndarray) -> np.ndarray:
+    """Permutation placing nodes cluster-major, clusters by size descending.
+
+    Returns ``perm`` with perm[new_id] = old_id.
+    """
+    uniq, inv, counts = np.unique(labels, return_inverse=True, return_counts=True)
+    cluster_rank = np.empty(len(uniq), dtype=np.int64)
+    cluster_rank[np.argsort(-counts, kind="stable")] = np.arange(len(uniq))
+    return np.lexsort((np.arange(len(labels)), cluster_rank[inv]))
+
+
+def locality_permutation(csr: CSR, rounds: int = 4) -> np.ndarray:
+    labels = label_propagation(csr.indptr, csr.indices, rounds=rounds)
+    return cluster_order(labels)
+
+
+@dataclasses.dataclass
+class ReorderedDataset:
+    dataset: GCNDataset
+    perm: np.ndarray      # perm[new_id] = old_id
+    inv_perm: np.ndarray  # inv_perm[old_id] = new_id
+
+
+def reorder_dataset(ds: GCNDataset, perm: np.ndarray) -> ReorderedDataset:
+    """Relabel every per-node structure of a dataset by ``perm``."""
+    n = ds.num_nodes
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+
+    # adjacency: rows permuted, column ids remapped (row content order preserved)
+    deg = np.diff(ds.graph.indptr.astype(np.int64))
+    new_deg = deg[perm]
+    new_indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(new_deg, out=new_indptr[1:])
+    starts = ds.graph.indptr.astype(np.int64)[perm]
+    gather = (np.repeat(starts - new_indptr[:-1], new_deg)
+              + np.arange(new_indptr[-1], dtype=np.int64))
+    new_indices = inv[ds.graph.indices.astype(np.int64)[gather]]
+    graph = CSR(indptr=new_indptr.astype(np.int32), indices=new_indices.astype(np.int32))
+
+    # features: same row permutation trick on the feature CSR
+    fdeg = np.diff(ds.feature_index.indptr.astype(np.int64))
+    new_fdeg = fdeg[perm]
+    new_findptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(new_fdeg, out=new_findptr[1:])
+    fstarts = ds.feature_index.indptr.astype(np.int64)[perm]
+    fgather = (np.repeat(fstarts - new_findptr[:-1], new_fdeg)
+               + np.arange(new_findptr[-1], dtype=np.int64))
+    feature_index = CSR(indptr=new_findptr.astype(np.int32),
+                        indices=ds.feature_index.indices[fgather])
+    feature_value = ds.feature_value[fgather]
+
+    new_ds = GCNDataset(
+        graph=graph,
+        feature_index=feature_index,
+        feature_value=feature_value,
+        label=ds.label[perm],
+        split=ds.split[perm],
+        num_nodes=n,
+        input_dim=ds.input_dim,
+        output_dim=ds.output_dim,
+    )
+    return ReorderedDataset(dataset=new_ds, perm=perm, inv_perm=inv)

@@ -69,7 +69,38 @@ def _ell_apply(h, buckets, n):
     return out
 
 
+def _bsr_apply(h, graph: Graph, transpose: bool):
+    """Block-sparse path: dense MXU tiles over contiguous node blocks + COO residual.
+
+    Â (after locality reordering, data/reorder.py) concentrates most edges in a
+    few dense [TB, TB] tiles; those multiply as a batched einsum at full memory
+    bandwidth — no per-edge gather. Block operands are whole contiguous slices
+    of H (one block-granular gather of K blocks). The residual edges use the
+    sorted-segment path. The transpose reuses the SAME tile array with swapped
+    contraction ('kij' -> 'kji') and swapped block row/col ids — zero extra
+    tile memory, valid for any Â.
+    """
+    n, d = graph.n_nodes, h.shape[1]
+    tb, t_blocks = graph.bsr_tb, graph.bsr_nblocks
+    rows, cols = (graph.bsr_cols, graph.bsr_rows) if transpose else (graph.bsr_rows, graph.bsr_cols)
+    hp = jnp.pad(h, ((0, t_blocks * tb - n), (0, 0))).reshape(t_blocks, tb, d)
+    hb = hp[cols]  # [K, TB, d] block-granular gather
+    spec = "kji,kjd->kid" if transpose else "kij,kjd->kid"
+    prod = jnp.einsum(spec, graph.bsr_tiles.astype(h.dtype), hb,
+                      preferred_element_type=jnp.float32).astype(h.dtype)
+    outb = jax.ops.segment_sum(prod, rows, num_segments=t_blocks,
+                               indices_are_sorted=not transpose)
+    dense_part = outb.reshape(t_blocks * tb, d)[:n]
+    if transpose:
+        resid = _segment_apply(h, graph.t_src, graph.t_dst, graph.t_coef, n)
+    else:
+        resid = _segment_apply(h, graph.src, graph.dst, graph.coef, n)
+    return dense_part + resid
+
+
 def _forward(h, graph: Graph):
+    if graph.backend == "bsr":
+        return _bsr_apply(h, graph, transpose=False)
     if graph.backend == "dense":
         return jnp.dot(graph.adj.astype(h.dtype), h, preferred_element_type=h.dtype)
     if graph.backend == "ell":
@@ -83,6 +114,8 @@ def _forward(h, graph: Graph):
 
 def _transpose_forward(g, graph: Graph):
     """Âᵀ·G over the precomputed transpose layout."""
+    if graph.backend == "bsr":
+        return _bsr_apply(g, graph, transpose=True)
     if graph.backend == "dense":
         return jnp.dot(graph.adj.T.astype(g.dtype), g, preferred_element_type=g.dtype)
     if graph.backend == "ell":

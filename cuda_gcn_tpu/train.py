@@ -136,9 +136,25 @@ class RunResult:
 
 
 def prepare(cfg: GCNConfig, dataset: GCNDataset):
-    """Build device-resident inputs: graph, features, and per-split truth vectors."""
+    """Build device-resident inputs: graph, features, and per-split truth vectors.
+
+    For the block-sparse backend, the dataset is first relabeled with the
+    locality permutation (data/reorder.py) so communities land in contiguous
+    node blocks — training metrics are permutation-invariant, so this is
+    semantics-preserving.
+    """
+    from cuda_gcn_tpu.data.graph import DENSE_BACKEND_MAX_NODES
+
     cfg = dataset.apply_config(cfg)
-    graph = build_graph(dataset.graph, backend=cfg.graphsum_backend)
+    backend = cfg.graphsum_backend
+    if backend == "auto":
+        backend = "dense" if cfg.num_nodes <= DENSE_BACKEND_MAX_NODES else "bsr"
+    if backend == "bsr" and cfg.reorder != "none":
+        from cuda_gcn_tpu.data.reorder import locality_permutation, reorder_dataset
+
+        perm = locality_permutation(dataset.graph)
+        dataset = reorder_dataset(dataset, perm).dataset
+    graph = build_graph(dataset.graph, backend=backend)
     x = jnp.asarray(dataset.dense_features(np.dtype(cfg.compute_dtype)))
     truths = {s: make_truth(dataset.split, dataset.label, s) for s in (1, 2, 3)}
     return cfg, graph, x, truths
