@@ -72,7 +72,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="reddit")
     ap.add_argument("--epochs", type=int, default=100)
-    ap.add_argument("--backend", default="ell", choices=["segment", "ell", "pallas", "dense", "auto"])
+    ap.add_argument("--backend", default="auto",
+                    choices=["segment", "ell", "pallas", "dense", "bsr", "auto"])
     ap.add_argument("--compute-dtype", default="float32")
     ap.add_argument("--data-dir", default="data")
     args = ap.parse_args()
@@ -89,27 +90,28 @@ def main() -> int:
     log(f"device: {jax.devices()[0]}; backend={graph.backend}; "
         f"nnz={graph.nnz}; dims={cfg.layer_dims()}")
 
-    # warmup epoch: triggers compilation of train+eval (one-time cost, reported
-    # separately; the reference's timer never pays a compile because C++ is AOT)
+    # warmup: compile the fused epoch program + run 2 epochs (one-time cost,
+    # reported separately; the reference's timer never pays a compile because
+    # C++ is AOT). Results materialize via np.asarray — block_until_ready alone
+    # is unreliable over the tunneled backend.
     state = train_mod.create_state(cfg)
     kw = dict(dropout_rate=cfg.dropout, weight_decay=cfg.weight_decay, lr=cfg.learning_rate)
     t0 = time.perf_counter()
-    state, l0, a0 = train_mod.train_step(state, graph, x, truths[1], **kw)
-    vl, va = train_mod.eval_step(state.params, graph, x, truths[2], weight_decay=cfg.weight_decay)
-    jax.block_until_ready((l0, vl))
+    state, metrics = train_mod.run_epochs(state, graph, x, truths[1], truths[2],
+                                          epochs=args.epochs, **kw)
+    _ = [np.asarray(m) for m in metrics]
     compile_s = time.perf_counter() - t0
-    log(f"warmup (compile + 1 epoch): {compile_s:.2f}s")
+    log(f"warmup (compile + full run): {compile_s:.2f}s")
 
-    # measured run: fresh state, same loop as the reference (train + val per epoch)
+    # measured run: fresh state, same per-epoch work as the reference
+    # (train step + validation eval per epoch), one fused device program
     state = train_mod.create_state(cfg)
     t0 = time.perf_counter()
-    last = None
-    for epoch in range(args.epochs):
-        state, tl, ta = train_mod.train_step(state, graph, x, truths[1], **kw)
-        vl, va = train_mod.eval_step(state.params, graph, x, truths[2], weight_decay=cfg.weight_decay)
-        last = (tl, ta, vl, va)
-    jax.block_until_ready(last)
+    state, metrics = train_mod.run_epochs(state, graph, x, truths[1], truths[2],
+                                          epochs=args.epochs, **kw)
+    metrics = [np.asarray(m) for m in metrics]
     train_s = time.perf_counter() - t0
+    last = [m[-1] for m in metrics]
 
     test_loss, test_acc = train_mod.eval_step(state.params, graph, x, truths[3],
                                               weight_decay=cfg.weight_decay)
@@ -122,7 +124,8 @@ def main() -> int:
     # edges/s through the graphsum SpMM: 2 layers x (fwd+bwd transpose) per train
     # epoch + 2 layer fwd per eval epoch = 6 adjacency passes per loop iteration
     passes = 6 * args.epochs
-    edges_per_s = graph.nnz * passes / train_s
+    total_nnz = dataset.graph.nnz  # graph.nnz may be residual-only under 'bsr'
+    edges_per_s = total_nnz * passes / train_s
     log(f"graphsum edge-passes/s: {edges_per_s:,.0f}")
 
     vs = BASELINE_CUDA_REDDIT_S / train_s if "reddit" in name else float("nan")
