@@ -38,7 +38,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--data-dir", default="data")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "segment", "ell", "pallas", "dense"],
+                   choices=["auto", "segment", "ell", "pallas", "dense", "bsr"],
                    help="graphsum backend")
     p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--platform", default=None, choices=["tpu", "cpu"],
