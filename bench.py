@@ -97,19 +97,17 @@ def main() -> int:
     state = train_mod.create_state(cfg)
     kw = dict(dropout_rate=cfg.dropout, weight_decay=cfg.weight_decay, lr=cfg.learning_rate)
     t0 = time.perf_counter()
-    state, metrics = train_mod.run_epochs(state, graph, x, truths[1], truths[2],
-                                          epochs=args.epochs, **kw)
-    _ = [np.asarray(m) for m in metrics]
+    state, metrics = train_mod.run_epochs_chunked(state, graph, x, truths[1], truths[2],
+                                                  epochs=args.epochs, **kw)
     compile_s = time.perf_counter() - t0
     log(f"warmup (compile + full run): {compile_s:.2f}s")
 
     # measured run: fresh state, same per-epoch work as the reference
-    # (train step + validation eval per epoch), one fused device program
+    # (train step + validation eval per epoch), fused chunked device programs
     state = train_mod.create_state(cfg)
     t0 = time.perf_counter()
-    state, metrics = train_mod.run_epochs(state, graph, x, truths[1], truths[2],
-                                          epochs=args.epochs, **kw)
-    metrics = [np.asarray(m) for m in metrics]
+    state, metrics = train_mod.run_epochs_chunked(state, graph, x, truths[1], truths[2],
+                                                  epochs=args.epochs, **kw)
     train_s = time.perf_counter() - t0
     last = [m[-1] for m in metrics]
 

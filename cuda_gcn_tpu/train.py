@@ -125,6 +125,29 @@ def run_epochs(state: TrainState, graph: Graph, x: jnp.ndarray,
     return state, metrics
 
 
+# One fused device program per this many epochs. Chunking bounds the runtime of
+# a single device program: very long programs (reddit-scale, 100 epochs fused)
+# can exceed the execution watchdog of the tunneled device backend and kill the
+# worker. 25 keeps dispatch overhead negligible (4 dispatches per 100 epochs)
+# while each program stays well under the limit.
+EPOCH_CHUNK = 25
+
+
+def run_epochs_chunked(state: TrainState, graph: Graph, x, truth_train, truth_val, *,
+                       epochs: int, chunk: int = EPOCH_CHUNK, **step_kwargs):
+    """run_epochs in fixed-size chunks (one compile when chunk divides epochs),
+    materializing metrics between chunks. Returns (state, [4 x np.ndarray])."""
+    parts: list[list[np.ndarray]] = []
+    done = 0
+    while done < epochs:
+        k = min(chunk, epochs - done)
+        state, m = run_epochs(state, graph, x, truth_train, truth_val,
+                              epochs=k, **step_kwargs)
+        parts.append([np.asarray(v) for v in m])  # device sync per chunk
+        done += k
+    return state, [np.concatenate([p[i] for p in parts]) for i in range(4)]
+
+
 @dataclasses.dataclass
 class RunResult:
     test_loss: float
@@ -174,9 +197,8 @@ def run(cfg: GCNConfig, dataset: GCNDataset, verbose: bool = True,
     if cfg.early_stopping <= 0 and cfg.epochs > 1:
         # fused path: all epochs in one device program (no per-epoch dispatch)
         timers.start(TMR_TRAIN)
-        state, metrics = run_epochs(state, graph, x, truths[1], truths[2],
-                                    epochs=cfg.epochs, **step_kwargs)
-        metrics = [np.asarray(m) for m in metrics]  # materializes (= device sync)
+        state, metrics = run_epochs_chunked(state, graph, x, truths[1], truths[2],
+                                            epochs=cfg.epochs, **step_kwargs)
         total_time = timers.stop(TMR_TRAIN)
         per_epoch = total_time / cfg.epochs
         for epoch in range(1, cfg.epochs + 1):
