@@ -181,13 +181,20 @@ def _coo_to_csr(rows_sorted: np.ndarray, n: int) -> np.ndarray:
 # 'auto' backend: dense MXU matmul below this node count; block-sparse tiles
 # (dense MXU tiles + COO residual) above.
 DENSE_BACKEND_MAX_NODES = 8192
-BSR_DEFAULT_TILE = 1024
-BSR_DEFAULT_BUDGET_BYTES = 4 << 30
+BSR_DEFAULT_TILE = 256
+BSR_DEFAULT_BUDGET_BYTES = 8 << 30
+BSR_DEFAULT_DTYPE = "bfloat16"
+# Break-even constant from chip calibration (docs/PERF.md): a tile is worth
+# densifying when streaming its bytes costs less than the ~12.3 ns/edge HBM
+# gathers it replaces; at ~250 GB/s that is bytes/3075 — use bytes/2048 to
+# leave margin for the einsum overheads.
+BSR_BREAK_EVEN_BYTES_PER_EDGE = 2048
 
 
 def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
                 bsr_tile: int = BSR_DEFAULT_TILE, bsr_min_edges: int | None = None,
-                bsr_budget_bytes: int = BSR_DEFAULT_BUDGET_BYTES) -> Graph:
+                bsr_budget_bytes: int = BSR_DEFAULT_BUDGET_BYTES,
+                bsr_dtype: str = BSR_DEFAULT_DTYPE) -> Graph:
     """Construct the device Graph from a parsed adjacency CSR (self-loops included)."""
     n = csr.nrows
     if backend == "auto":
@@ -205,7 +212,8 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
     bsr = None
     if backend == "bsr":
         bsr, keep_residual = _select_bsr_tiles(
-            src, dst, coef, n, bsr_tile, bsr_min_edges, bsr_budget_bytes)
+            src, dst, coef, n, bsr_tile, bsr_min_edges, bsr_budget_bytes,
+            _np_dtype(bsr_dtype))
         src, dst, coef = src[keep_residual], dst[keep_residual], coef[keep_residual]
 
     t_src, t_dst, t_coef = _transpose_coo(src, dst, coef)
@@ -254,36 +262,47 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
     )
 
 
-def _select_bsr_tiles(src, dst, coef, n, tb, min_edges, budget_bytes):
+def _np_dtype(name: str) -> np.dtype:
+    """numpy dtype by name, including bfloat16 (via ml_dtypes, shipped with jax)."""
+    if name == "bfloat16":
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(name)
+
+
+def _select_bsr_tiles(src, dst, coef, n, tb, min_edges, budget_bytes,
+                      dtype=None):
     """Pick the densest [tb x tb] tiles of Â and materialize them as dense blocks.
 
-    The 'bsr' backend's cost model (measured on the target chip, see
-    scripts/bench_ops.py history): a random-row gather pays a ~512-byte HBM
-    transaction per edge regardless of feature width, while dense tiles stream
-    at full bandwidth and multiply on the MXU. A tile is worth densifying when
-    its edge count exceeds roughly tile_bytes / 512 — i.e. when dense streaming
-    moves fewer bytes than the residual gathers it replaces.
+    The 'bsr' backend's cost model (measured on the target chip, docs/PERF.md):
+    an HBM random row gather costs ~12.3 ns per edge regardless of feature
+    width, while dense tiles stream at full bandwidth and multiply on the MXU.
+    A tile is worth densifying when streaming its bytes is cheaper than the
+    per-edge gathers it replaces (BSR_BREAK_EVEN_BYTES_PER_EDGE).
 
-    Returns ((tiles [K,tb,tb] f32, rows [K], cols [K] sorted by (row,col), tb, T),
+    Returns ((tiles [K,tb,tb] dtype, rows [K], cols [K] sorted by (row,col), tb, T),
              keep_mask for residual edges).
     """
+    if dtype is None:
+        dtype = _np_dtype(BSR_DEFAULT_DTYPE)
     t_blocks = -(-n // tb)
     tile_r = src // tb
     tile_c = dst // tb
     tile_id = tile_r * t_blocks + tile_c
     counts = np.bincount(tile_id, minlength=t_blocks * t_blocks)
     if min_edges is None:
-        min_edges = max((tb * tb * 4) // 512, 1)
+        min_edges = max(tb * tb * dtype.itemsize // BSR_BREAK_EVEN_BYTES_PER_EDGE, 8)
     candidates = np.flatnonzero(counts >= min_edges)
     # budget cap: densest first
-    max_tiles = max(int(budget_bytes // (tb * tb * 4)), 0)
+    max_tiles = max(int(budget_bytes // (tb * tb * dtype.itemsize)), 0)
     if len(candidates) > max_tiles:
         order = np.argsort(-counts[candidates], kind="stable")
         candidates = candidates[order[:max_tiles]]
     candidates = np.sort(candidates)  # (row, col) sorted -> sorted block rows
     k = len(candidates)
     if k == 0:
-        return (np.zeros((0, tb, tb), np.float32), np.zeros(0, np.int32),
+        return (np.zeros((0, tb, tb), dtype), np.zeros(0, np.int32),
                 np.zeros(0, np.int32), tb, t_blocks), np.ones(len(src), dtype=bool)
 
     rank_of = np.full(t_blocks * t_blocks, -1, dtype=np.int64)
@@ -295,6 +314,7 @@ def _select_bsr_tiles(src, dst, coef, n, tb, min_edges, budget_bytes):
     flat = (edge_rank[in_tile] * tb * tb
             + (src[in_tile] % tb) * tb + (dst[in_tile] % tb))
     np.add.at(tiles.reshape(-1), flat, coef[in_tile])
+    tiles = tiles.astype(dtype)
 
     rows = (candidates // t_blocks).astype(np.int32)
     cols = (candidates % t_blocks).astype(np.int32)

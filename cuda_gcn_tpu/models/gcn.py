@@ -58,6 +58,33 @@ def apply(params: Params, graph: Graph, x: jnp.ndarray, *,
     return h
 
 
+def apply_pair(params: Params, graph: Graph, x: jnp.ndarray, *,
+               key: jax.Array, dropout_rate: float) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One fused forward computing BOTH the dropout-active training logits and
+    the eval (no-dropout) logits for the same params.
+
+    graphsum is linear, so both passes ride ONE aggregation per layer at
+    concatenated width — on TPU the per-edge gathers are latency-bound and
+    width-independent (docs/PERF.md), so this halves the number of adjacency
+    passes versus running train and eval forwards separately. Gradients flow
+    only through the training half (the eval half never reaches the loss).
+    """
+    n_layers = len(params)
+    keys = jax.random.split(key, n_layers)
+    ht = he = x
+    for i in range(n_layers):
+        w = params[f"w{i + 1}"]
+        d = w.shape[1]
+        zt = dense_matmul(dropout(ht, dropout_rate, keys[i], True), w)
+        ze = dense_matmul(he, w)
+        both = graphsum(jnp.concatenate([zt, ze], axis=1), graph)
+        ht, he = both[:, :d], both[:, d:]
+        if i < n_layers - 1:
+            ht = jnp.maximum(ht, 0.0)
+            he = jnp.maximum(he, 0.0)
+    return ht, he
+
+
 def loss_fn(params: Params, graph: Graph, x: jnp.ndarray, truth: jnp.ndarray, *,
             weight_decay: float, key: jax.Array | None = None,
             dropout_rate: float = 0.0, training: bool = False):

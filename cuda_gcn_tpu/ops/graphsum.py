@@ -73,24 +73,27 @@ def _bsr_apply(h, graph: Graph, transpose: bool):
     """Block-sparse path: dense MXU tiles over contiguous node blocks + COO residual.
 
     Â (after locality reordering, data/reorder.py) concentrates most edges in a
-    few dense [TB, TB] tiles; those multiply as a batched einsum at full memory
-    bandwidth — no per-edge gather. Block operands are whole contiguous slices
-    of H (one block-granular gather of K blocks). The residual edges use the
-    sorted-segment path. The transpose reuses the SAME tile array with swapped
-    contraction ('kij' -> 'kji') and swapped block row/col ids — zero extra
-    tile memory, valid for any Â.
+    few dense [TB, TB] tiles (stored bf16 by default); those multiply as a
+    batched einsum at full memory bandwidth — no per-edge gather. The residual
+    edges use the sorted-segment path. The transpose reuses the SAME tile array
+    with swapped contraction ('kij' -> 'kji') and swapped block row/col ids —
+    zero extra tile memory, valid for any Â.
+
+    All intermediates use the TRANSPOSED activation layout [d, K, tb]: TPU
+    stores arrays lane-padded to 128, so a [K, tb, d] intermediate at d=16
+    would occupy 8x its logical bytes (docs/PERF.md "lane padding"); keeping tb
+    (a multiple of 128) as the minor dim makes every tensor dense in memory.
     """
     n, d = graph.n_nodes, h.shape[1]
     tb, t_blocks = graph.bsr_tb, graph.bsr_nblocks
     rows, cols = (graph.bsr_cols, graph.bsr_rows) if transpose else (graph.bsr_rows, graph.bsr_cols)
-    hp = jnp.pad(h, ((0, t_blocks * tb - n), (0, 0))).reshape(t_blocks, tb, d)
-    hb = hp[cols]  # [K, TB, d] block-granular gather
-    spec = "kji,kjd->kid" if transpose else "kij,kjd->kid"
-    prod = jnp.einsum(spec, graph.bsr_tiles.astype(h.dtype), hb,
-                      preferred_element_type=jnp.float32).astype(h.dtype)
+    hT = jnp.pad(h, ((0, t_blocks * tb - n), (0, 0))).T.reshape(d, t_blocks, tb)
+    hbT = hT[:, cols]  # [d, K, TB] block-granular slab gather
+    spec = "kji,dkj->kdi" if transpose else "kij,dkj->kdi"
+    prod = jnp.einsum(spec, graph.bsr_tiles, hbT, preferred_element_type=jnp.float32)
     outb = jax.ops.segment_sum(prod, rows, num_segments=t_blocks,
-                               indices_are_sorted=not transpose)
-    dense_part = outb.reshape(t_blocks * tb, d)[:n]
+                               indices_are_sorted=not transpose)  # [T, d, TB]
+    dense_part = outb.transpose(1, 0, 2).reshape(d, t_blocks * tb)[:, :n].T.astype(h.dtype)
     if transpose:
         resid = _segment_apply(h, graph.t_src, graph.t_dst, graph.t_coef, n)
     else:

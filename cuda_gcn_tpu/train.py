@@ -100,29 +100,60 @@ def eval_step(params, graph: Graph, x: jnp.ndarray, truth: jnp.ndarray, *, weigh
     return _eval_core(params, graph, x, truth, weight_decay=weight_decay)
 
 
+def _combined_metrics(logits, truth, w1, weight_decay):
+    from cuda_gcn_tpu.ops.loss import l2_penalty, masked_cross_entropy, strict_accuracy
+
+    loss = masked_cross_entropy(logits, truth) + l2_penalty(w1, weight_decay)
+    return loss, strict_accuracy(logits, truth)
+
+
 @partial(jax.jit, static_argnames=("epochs", "dropout_rate", "weight_decay", "lr"),
          donate_argnums=(0,))
 def run_epochs(state: TrainState, graph: Graph, x: jnp.ndarray,
                truth_train: jnp.ndarray, truth_val: jnp.ndarray, *,
                epochs: int, dropout_rate: float, weight_decay: float, lr: float):
     """Fused epoch loop: ``epochs`` (train + validation) iterations in ONE device
-    program via lax.scan — no per-epoch host dispatch (which costs ~25 ms/epoch
+    program via lax.scan — no per-epoch host dispatch (which costs ~29 ms/epoch
     over a tunneled device). Returns (state, stacked per-epoch metrics).
+
+    Pass-fusion: epoch e's validation forward uses the post-step params θ_e —
+    exactly the params epoch e+1's training forward starts from. Since graphsum
+    is linear and TPU gathers are width-independent (docs/PERF.md), iteration
+    e+1 computes BOTH forwards in one width-concatenated aggregation
+    (gcn.apply_pair): 4 adjacency passes per epoch instead of 6. The scan's
+    iteration i therefore yields train metrics of epoch i and val metrics of
+    epoch i-1; a single trailing eval supplies epoch `epochs`' val metrics and
+    the metric streams are realigned before returning. Semantics (metric
+    values, dropout key sequence, update order) are IDENTICAL to running
+    train_step + eval_step per epoch, matching GCN::run (gcn.cpp:130-158).
 
     Used when early stopping is disabled (the reference default,
     gcn.cpp:142-150 with early_stopping=0); exact per-epoch semantics otherwise
     require a host-side decision between epochs.
     """
 
-    def body(state, _):
-        state, tl, ta = _train_epoch_core(state, graph, x, truth_train,
-                                          dropout_rate=dropout_rate,
-                                          weight_decay=weight_decay, lr=lr)
-        vl, va = _eval_core(state.params, graph, x, truth_val, weight_decay=weight_decay)
-        return state, (tl, ta, vl, va)
+    def fused_loss(params, key):
+        logits_t, logits_e = gcn.apply_pair(params, graph, x, key=key,
+                                            dropout_rate=dropout_rate)
+        tl, ta = _combined_metrics(logits_t, truth_train, params["w1"], weight_decay)
+        vl, va = _combined_metrics(logits_e, truth_val, params["w1"], weight_decay)
+        return tl, (ta, vl, va)
 
-    state, metrics = jax.lax.scan(body, state, None, length=epochs)
-    return state, metrics
+    def body(state, _):
+        key, subkey = jax.random.split(state.key)
+        (tl, (ta, vl_prev, va_prev)), grads = jax.value_and_grad(
+            fused_loss, has_aux=True)(state.params, subkey)
+        params, opt = adam.apply(state.params, grads, state.opt, adam.AdamParams(lr=lr))
+        return TrainState(params=params, opt=opt, key=key), (tl, ta, vl_prev, va_prev)
+
+    state, (tl, ta, vl, va) = jax.lax.scan(body, state, None, length=epochs)
+    # realign: iteration i's (vl, va) evaluate θ_{i-1}; drop the θ_0 entry and
+    # append the final post-step eval.
+    vl_last, va_last = _eval_core(state.params, graph, x, truth_val,
+                                  weight_decay=weight_decay)
+    vl = jnp.concatenate([vl[1:], vl_last[None]])
+    va = jnp.concatenate([va[1:], va_last[None]])
+    return state, (tl, ta, vl, va)
 
 
 # One fused device program per this many epochs. Chunking bounds the runtime of

@@ -29,7 +29,21 @@ def clustered():
 def bsr_graph(csr, **kw):
     kw.setdefault("bsr_tile", 32)
     kw.setdefault("bsr_min_edges", 8)
+    # exact-match tests store tiles in f32; the bf16 default is covered by
+    # test_bsr_bf16_tiles_close
+    kw.setdefault("bsr_dtype", "float32")
     return build_graph(csr, backend="bsr", **kw)
+
+
+def test_bsr_bf16_tiles_close(clustered):
+    """Default bf16 tile storage stays within bf16 rounding of the oracle."""
+    ds, h = clustered
+    g = bsr_graph(ds.graph, bsr_dtype="bfloat16")
+    assert g.bsr_tiles.dtype == jnp.bfloat16
+    expected = oracle.graphsum_forward(ds.graph.indptr, ds.graph.indices,
+                                       h.astype(np.float64))
+    got = np.asarray(graphsum(jnp.asarray(h), g))
+    np.testing.assert_allclose(got, expected, rtol=2e-2, atol=2e-2)
 
 
 def test_bsr_has_dense_tiles_after_reorder(clustered):
@@ -94,7 +108,7 @@ def test_bsr_empty_tiles_degrades_to_segment(clustered):
 def test_bsr_budget_caps_tiles(clustered):
     ds, _ = clustered
     g_all = bsr_graph(ds.graph)
-    one_tile_bytes = 32 * 32 * 4
+    one_tile_bytes = 32 * 32 * 4  # f32 tiles (bsr_graph default)
     g_capped = bsr_graph(ds.graph, bsr_budget_bytes=2 * one_tile_bytes)
     assert g_capped.bsr_tiles.shape[0] <= 2 <= max(g_all.bsr_tiles.shape[0], 2)
 

@@ -118,3 +118,47 @@ def test_cli_missing_dataset(tmp_path):
 
     rc = main(["doesnotexist", "--data-dir", str(tmp_path)])
     assert rc == 1
+
+
+def test_fused_epochs_match_stepwise(tiny_dataset):
+    """run_epochs' pass-fused scan (eval rides the next train forward) must be
+    metric-identical to the per-epoch train_step + eval_step loop."""
+    import jax.numpy as jnp
+
+    cfg = GCNConfig(epochs=5, seed=0)
+    cfg, graph, x, truths = train_mod.prepare(cfg, tiny_dataset)
+    kw = dict(dropout_rate=cfg.dropout, weight_decay=cfg.weight_decay,
+              lr=cfg.learning_rate)
+
+    state = train_mod.create_state(cfg)
+    state_f, (tl, ta, vl, va) = train_mod.run_epochs(
+        state, graph, x, truths[1], truths[2], epochs=5, **kw)
+
+    state = train_mod.create_state(cfg)
+    ref = []
+    for _ in range(5):
+        state, loss, acc = train_mod.train_step(state, graph, x, truths[1], **kw)
+        v_loss, v_acc = train_mod.eval_step(state.params, graph, x, truths[2],
+                                            weight_decay=cfg.weight_decay)
+        ref.append((float(loss), float(acc), float(v_loss), float(v_acc)))
+
+    got = np.stack([np.asarray(tl), np.asarray(ta), np.asarray(vl), np.asarray(va)], axis=1)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-6)
+    # final params identical too
+    for k in state.params:
+        np.testing.assert_allclose(np.asarray(state_f.params[k]),
+                                   np.asarray(state.params[k]), rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_epochs_match_unchunked(tiny_dataset):
+    cfg = GCNConfig(epochs=6, seed=0)
+    cfg, graph, x, truths = train_mod.prepare(cfg, tiny_dataset)
+    kw = dict(dropout_rate=cfg.dropout, weight_decay=cfg.weight_decay,
+              lr=cfg.learning_rate)
+    s1 = train_mod.create_state(cfg)
+    s1, m1 = train_mod.run_epochs(s1, graph, x, truths[1], truths[2], epochs=6, **kw)
+    s2 = train_mod.create_state(cfg)
+    s2, m2 = train_mod.run_epochs_chunked(s2, graph, x, truths[1], truths[2],
+                                          epochs=6, chunk=4, **kw)
+    for a, b in zip(m1, m2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
