@@ -68,6 +68,25 @@ def load_bench_dataset(name: str, data_dir: str):
     return ds, synth
 
 
+def maybe_reorder_cached(dataset, name: str):
+    """One-time LPA locality reorder with an on-disk cache of the permutation
+    (offline preprocessing, like the reference's reddit_preprocess.py — not
+    part of the timed training loop)."""
+    from cuda_gcn_tpu.data.reorder import locality_permutation, reorder_dataset
+
+    cache = os.path.join(CACHE_DIR, f"{name}.perm.npy")
+    if os.path.exists(cache):
+        perm = np.load(cache)
+        log(f"loaded cached locality permutation for {name}")
+    else:
+        t0 = time.perf_counter()
+        perm = locality_permutation(dataset.graph)
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        np.save(cache, perm)
+        log(f"computed locality permutation in {time.perf_counter() - t0:.1f}s")
+    return reorder_dataset(dataset, perm).dataset
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="reddit")
@@ -81,10 +100,17 @@ def main() -> int:
     import jax
 
     from cuda_gcn_tpu.config import GCNConfig
+    from cuda_gcn_tpu.data.graph import DENSE_BACKEND_MAX_NODES
     from cuda_gcn_tpu import train as train_mod
 
     dataset, name = load_bench_dataset(args.dataset, args.data_dir)
-    cfg = GCNConfig(epochs=args.epochs, graphsum_backend=args.backend,
+    backend = args.backend
+    if backend == "auto":
+        backend = "dense" if dataset.num_nodes <= DENSE_BACKEND_MAX_NODES else "bsr"
+    reorder = "none"
+    if backend == "bsr":
+        dataset = maybe_reorder_cached(dataset, name)
+    cfg = GCNConfig(epochs=args.epochs, graphsum_backend=backend, reorder=reorder,
                     compute_dtype=args.compute_dtype, seed=0)
     cfg, graph, x, truths = train_mod.prepare(cfg, dataset)
     log(f"device: {jax.devices()[0]}; backend={graph.backend}; "
