@@ -25,6 +25,10 @@ import time
 import numpy as np
 
 BASELINE_CUDA_REDDIT_S = 106.23713  # report.pdf §3.3, gcn-cuda on reddit
+# gcn-cuda total train time per dataset (report.pdf §3.3 "Raw results")
+BASELINE_CUDA_S = {
+    "cora": 0.20823, "citeseer": 0.21186, "pubmed": 1.10340, "reddit": 106.23713,
+}
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 
 
@@ -152,7 +156,8 @@ def main() -> int:
     edges_per_s = total_nnz * passes / train_s
     log(f"graphsum edge-passes/s: {edges_per_s:,.0f}")
 
-    vs = BASELINE_CUDA_REDDIT_S / train_s if "reddit" in name else float("nan")
+    base = BASELINE_CUDA_S.get(name.removeprefix("synth-"))
+    vs = base / train_s if base else float("nan")
     print(json.dumps({
         "metric": f"{name}_{args.epochs}ep_train_time",
         "value": round(train_s, 5),
@@ -164,7 +169,7 @@ def main() -> int:
             "ms_per_epoch": round(train_s / args.epochs * 1000, 3),
             "spmm_edge_passes_per_s": round(edges_per_s),
             "test_acc": round(float(test_acc), 5),
-            "baseline_cuda_reddit_s": BASELINE_CUDA_REDDIT_S,
+            "baseline_cuda_s": base,
             "device": str(jax.devices()[0]),
         },
     }))

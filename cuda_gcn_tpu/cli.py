@@ -41,6 +41,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["auto", "segment", "ell", "pallas", "dense", "bsr"],
                    help="graphsum backend")
     p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--feature-matmul", default="dense", choices=["dense", "sparse"],
+                   help="layer-0 feature transform: densified X on the MXU, or "
+                        "CSR-values SpMM (reference SparseMatmul parity)")
     p.add_argument("--platform", default=None, choices=["tpu", "cpu"],
                    help="force a JAX platform (default: environment's)")
     p.add_argument("--save-checkpoint", default=None, metavar="PATH",
@@ -54,7 +57,8 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def config_from_args(args: argparse.Namespace) -> GCNConfig:
-    cfg = GCNConfig(seed=args.seed, graphsum_backend=args.backend, compute_dtype=args.compute_dtype)
+    cfg = GCNConfig(seed=args.seed, graphsum_backend=args.backend,
+                    compute_dtype=args.compute_dtype, feature_matmul=args.feature_matmul)
     updates: dict = {}
     for name, value in zip(_POSITIONAL, args.overrides):
         typ = float if name in _FLOAT_FIELDS else int

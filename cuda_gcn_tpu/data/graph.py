@@ -71,6 +71,7 @@ class Graph:
     bsr_cols: jnp.ndarray | None = None   # [K] block-col ids
     bsr_tb: int = 0                       # static tile size
     bsr_nblocks: int = 0                  # static T = padded_nodes // TB
+    total_nnz: int = 0                    # nnz of Â incl. tile-covered edges
     n_nodes: int = 0
     symmetric: bool = True  # True when edge set is symmetric (undirected input)
     backend: str = "segment"  # static: 'segment' | 'ell' | 'pallas' | 'dense' | 'bsr'
@@ -87,7 +88,7 @@ class Graph:
                   self.ell_fwd, self.ell_bwd, self.adj,
                   self.bsr_tiles, self.bsr_rows, self.bsr_cols)
         return leaves, (self.n_nodes, self.symmetric, self.backend,
-                        self.bsr_tb, self.bsr_nblocks)
+                        self.bsr_tb, self.bsr_nblocks, self.total_nnz)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -95,7 +96,7 @@ class Graph:
          bsr_tiles, bsr_rows, bsr_cols) = leaves
         return cls(src, dst, coef, t_src, t_dst, t_coef, ell_fwd, ell_bwd, adj,
                    bsr_tiles=bsr_tiles, bsr_rows=bsr_rows, bsr_cols=bsr_cols,
-                   bsr_tb=aux[3], bsr_nblocks=aux[4],
+                   bsr_tb=aux[3], bsr_nblocks=aux[4], total_nnz=aux[5],
                    n_nodes=aux[0], symmetric=aux[1], backend=aux[2])
 
 
@@ -256,6 +257,7 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
         ell_fwd=ell_fwd,
         ell_bwd=ell_bwd,
         adj=adj,
+        total_nnz=int(csr.nnz),
         n_nodes=n,
         symmetric=symmetric,
         backend=backend,

@@ -23,9 +23,23 @@ from cuda_gcn_tpu.data.graph import Graph
 from cuda_gcn_tpu.ops.dropout import dropout
 from cuda_gcn_tpu.ops.graphsum import graphsum
 from cuda_gcn_tpu.ops.loss import l2_penalty, masked_cross_entropy, strict_accuracy
-from cuda_gcn_tpu.ops.matmul import dense_matmul
+from cuda_gcn_tpu.ops.matmul import SparseFeatures, csr_matmul, dense_matmul
 
 Params = dict[str, jnp.ndarray]
+
+
+def _layer0_transform(x, w, rate, key, training):
+    """dropout(x) @ W for the first layer, honoring a sparse input.
+
+    Dense x: elementwise dropout + MXU matmul. SparseFeatures x: dropout on the
+    nnz VALUES (the reference's layer-0 dropout, gcn.cpp:23 — equivalent in
+    distribution to dense dropout since dropped zeros stay zero) followed by the
+    CSR SpMM (reference SparseMatmul, module.cpp:47-77).
+    """
+    if isinstance(x, SparseFeatures):
+        vals = dropout(x.values, rate, key, training)
+        return csr_matmul(vals, x.rows, x.cols, w, x.n_rows)
+    return dense_matmul(dropout(x, rate, key, training), w)
 
 
 def glorot(key: jax.Array, fan_in: int, fan_out: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -50,8 +64,11 @@ def apply(params: Params, graph: Graph, x: jnp.ndarray, *,
     keys = jax.random.split(key, n_layers) if (training and key is not None) else [None] * n_layers
     h = x
     for i in range(n_layers):
-        h = dropout(h, dropout_rate, keys[i], training)
-        h = dense_matmul(h, params[f"w{i + 1}"])
+        if i == 0:
+            h = _layer0_transform(h, params["w1"], dropout_rate, keys[0], training)
+        else:
+            h = dropout(h, dropout_rate, keys[i], training)
+            h = dense_matmul(h, params[f"w{i + 1}"])
         h = graphsum(h, graph)
         if i < n_layers - 1:
             h = jnp.maximum(h, 0.0)  # ReLU (module.cpp:177-183)
@@ -75,8 +92,12 @@ def apply_pair(params: Params, graph: Graph, x: jnp.ndarray, *,
     for i in range(n_layers):
         w = params[f"w{i + 1}"]
         d = w.shape[1]
-        zt = dense_matmul(dropout(ht, dropout_rate, keys[i], True), w)
-        ze = dense_matmul(he, w)
+        if i == 0:
+            zt = _layer0_transform(ht, w, dropout_rate, keys[0], True)
+            ze = _layer0_transform(he, w, 0.0, None, False)
+        else:
+            zt = dense_matmul(dropout(ht, dropout_rate, keys[i], True), w)
+            ze = dense_matmul(he, w)
         both = graphsum(jnp.concatenate([zt, ze], axis=1), graph)
         ht, he = both[:, :d], both[:, d:]
         if i < n_layers - 1:

@@ -19,8 +19,32 @@ TPU-first defaults:
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SparseFeatures:
+    """CSR feature matrix kept sparse on device (reference SparseIndex+values,
+    src/seq/sparse.h:7-17): the model's layer-0 input when
+    ``GCNConfig.feature_matmul == 'sparse'``. Dropout applies to ``values``
+    exactly like the reference's layer-0 dropout on nnz values (gcn.cpp:23)."""
+
+    values: jnp.ndarray  # (nnz,) float
+    rows: jnp.ndarray    # (nnz,) int32, sorted (CSR expansion)
+    cols: jnp.ndarray    # (nnz,) int32
+    n_rows: int
+    n_cols: int
+
+    def tree_flatten(self):
+        return (self.values, self.rows, self.cols), (self.n_rows, self.n_cols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, n_rows=aux[0], n_cols=aux[1])
 
 
 def dense_matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:

@@ -156,18 +156,29 @@ def run_epochs(state: TrainState, graph: Graph, x: jnp.ndarray,
     return state, (tl, ta, vl, va)
 
 
-# One fused device program per this many epochs. Chunking bounds the runtime of
-# a single device program: very long programs (reddit-scale, 100 epochs fused)
-# can exceed the execution watchdog of the tunneled device backend and kill the
-# worker. 25 keeps dispatch overhead negligible (4 dispatches per 100 epochs)
-# while each program stays well under the limit.
-EPOCH_CHUNK = 25
+# Chunking bounds the runtime of a single fused device program: very long
+# programs (reddit-scale, 100 epochs fused) can exceed the execution watchdog
+# of the tunneled device backend and kill the worker. Each chunk targets this
+# many seconds of estimated device time; small graphs run all epochs in ONE
+# program (each extra dispatch costs ~29 ms on the tunneled backend, which
+# dominates cora-scale totals).
+TARGET_PROGRAM_SECONDS = 10.0
+# Rough per-edge-per-pass cost on the bench chip (docs/PERF.md): between the
+# 12.3 ns gather floor and the tile-covered fast path.
+_EST_SECONDS_PER_EDGE_PASS = 5e-9
+
+
+def pick_epoch_chunk(nnz: int, epochs: int) -> int:
+    per_epoch = max(nnz * 4 * _EST_SECONDS_PER_EDGE_PASS, 1e-6)
+    return max(1, min(epochs, int(TARGET_PROGRAM_SECONDS / per_epoch)))
 
 
 def run_epochs_chunked(state: TrainState, graph: Graph, x, truth_train, truth_val, *,
-                       epochs: int, chunk: int = EPOCH_CHUNK, **step_kwargs):
+                       epochs: int, chunk: int | None = None, **step_kwargs):
     """run_epochs in fixed-size chunks (one compile when chunk divides epochs),
     materializing metrics between chunks. Returns (state, [4 x np.ndarray])."""
+    if chunk is None:
+        chunk = pick_epoch_chunk(graph.total_nnz or graph.nnz, epochs)
     parts: list[list[np.ndarray]] = []
     done = 0
     while done < epochs:
@@ -209,7 +220,18 @@ def prepare(cfg: GCNConfig, dataset: GCNDataset):
         perm = locality_permutation(dataset.graph)
         dataset = reorder_dataset(dataset, perm).dataset
     graph = build_graph(dataset.graph, backend=backend)
-    x = jnp.asarray(dataset.dense_features(np.dtype(cfg.compute_dtype)))
+    if cfg.feature_matmul == "sparse":
+        from cuda_gcn_tpu.ops.matmul import SparseFeatures
+
+        fi = dataset.feature_index
+        rows = np.repeat(np.arange(dataset.num_nodes, dtype=np.int32),
+                         np.diff(fi.indptr))
+        x = SparseFeatures(
+            values=jnp.asarray(dataset.feature_value.astype(np.dtype(cfg.compute_dtype))),
+            rows=jnp.asarray(rows), cols=jnp.asarray(fi.indices.astype(np.int32)),
+            n_rows=dataset.num_nodes, n_cols=cfg.input_dim)
+    else:
+        x = jnp.asarray(dataset.dense_features(np.dtype(cfg.compute_dtype)))
     truths = {s: make_truth(dataset.split, dataset.label, s) for s in (1, 2, 3)}
     return cfg, graph, x, truths
 

@@ -92,3 +92,32 @@ def test_three_layer_model(tiny_dataset):
     result = train_mod.run(cfg, tiny_dataset, verbose=False)
     assert len(result.state.params) == 3
     assert np.isfinite(result.history[-1]["train_loss"])
+
+
+def test_sparse_feature_path_matches_dense(tiny_dataset):
+    """feature_matmul='sparse' (CSR-values layer 0) must produce the same eval
+    logits as the densified path, and the same fused-epoch metrics when
+    dropout=0 (dropout masks differ only on structural zeros otherwise)."""
+    import jax.numpy as jnp
+
+    from cuda_gcn_tpu.config import GCNConfig
+    from cuda_gcn_tpu import train as train_mod
+    from cuda_gcn_tpu.models import gcn
+
+    cfg_d = GCNConfig(epochs=3, seed=0, dropout=0.0)
+    cfg_d, graph, x_d, truths = train_mod.prepare(cfg_d, tiny_dataset)
+    cfg_s = GCNConfig(epochs=3, seed=0, dropout=0.0, feature_matmul="sparse")
+    cfg_s, _, x_s, _ = train_mod.prepare(cfg_s, tiny_dataset)
+
+    params = gcn.init_params(jax.random.PRNGKey(0), cfg_d.layer_dims())
+    ld = gcn.apply(params, graph, x_d, training=False)
+    ls = gcn.apply(params, graph, x_s, training=False)
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(ls), rtol=1e-5, atol=1e-6)
+
+    kw = dict(dropout_rate=0.0, weight_decay=cfg_d.weight_decay, lr=cfg_d.learning_rate)
+    s1 = train_mod.create_state(cfg_d)
+    s1, m1 = train_mod.run_epochs(s1, graph, x_d, truths[1], truths[2], epochs=3, **kw)
+    s2 = train_mod.create_state(cfg_s)
+    s2, m2 = train_mod.run_epochs(s2, graph, x_s, truths[1], truths[2], epochs=3, **kw)
+    for a, b in zip(m1, m2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
