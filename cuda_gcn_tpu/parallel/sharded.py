@@ -131,11 +131,8 @@ def _per_device_forward(params, inputs: ShardedInputs, key, dropout_rate, traini
     return h  # [B, C] local logits
 
 
-def _per_device_loss(params, inputs: ShardedInputs, truth_local, key,
-                     dropout_rate, training):
+def _psum_metrics(logits, truth):
     """Replicated (psum-reduced) masked CE + strict accuracy over all devices."""
-    logits = _per_device_forward(params, inputs, key, dropout_rate, training)
-    truth = truth_local
     mask = truth >= 0
     safe_truth = jnp.where(mask, truth, 0)
     logits32 = logits.astype(jnp.float32)
@@ -151,6 +148,49 @@ def _per_device_loss(params, inputs: ShardedInputs, truth_local, key,
     acc = jax.lax.psum(jnp.sum(jnp.where(mask, correct, False).astype(jnp.float32)),
                        GRAPH_AXIS) / count
     return loss, acc
+
+
+def _per_device_loss(params, inputs: ShardedInputs, truth_local, key,
+                     dropout_rate, training):
+    logits = _per_device_forward(params, inputs, key, dropout_rate, training)
+    return _psum_metrics(logits, truth_local)
+
+
+def _per_device_pair(params, inputs: ShardedInputs, key, dropout_rate):
+    """Fused train(dropout)+eval forwards on the local slab: one halo exchange
+    and one local aggregation per layer at concatenated width (the multi-chip
+    version of gcn.apply_pair — also halves the all_to_all count per epoch)."""
+    src, dst, coef = inputs.src[0], inputs.dst[0], inputs.coef[0]
+    t_src, t_dst, t_coef = inputs.t_src[0], inputs.t_dst[0], inputs.t_coef[0]
+    send_idx = inputs.send_idx[0]
+    graph = _local_graph(src, dst, coef, t_src, t_dst, t_coef, inputs.n_local)
+
+    n_layers = len(params)
+    key = jax.random.fold_in(key, jax.lax.axis_index(GRAPH_AXIS))
+    keys = jax.random.split(key, n_layers)
+
+    ht = he = inputs.x
+    for i in range(n_layers):
+        w = params[f"w{i + 1}"]
+        d = w.shape[1]
+        zt = jnp.dot(dropout(ht, dropout_rate, keys[i], True), w,
+                     preferred_element_type=jnp.float32).astype(ht.dtype)
+        ze = jnp.dot(he, w, preferred_element_type=jnp.float32).astype(he.dtype)
+        both = halo_graphsum(jnp.concatenate([zt, ze], axis=1), graph, send_idx,
+                             inputs.block, inputs.hmax)
+        ht, he = both[:, :d], both[:, d:]
+        if i < n_layers - 1:
+            ht = jnp.maximum(ht, 0.0)
+            he = jnp.maximum(he, 0.0)
+    return ht, he
+
+
+def _per_device_pair_loss(params, inputs, truth_train_local, truth_val_local,
+                          key, dropout_rate):
+    lt, le = _per_device_pair(params, inputs, key, dropout_rate)
+    tl, ta = _psum_metrics(lt, truth_train_local)
+    vl, va = _psum_metrics(le, truth_val_local)
+    return tl, (ta, vl, va)
 
 
 def sharded_loss_fn(mesh: Mesh, params, inputs: ShardedInputs, truth, key,
@@ -204,6 +244,55 @@ def make_sharded_train_step(mesh: Mesh, cfg: GCNConfig):
         return TrainState(params=params, opt=opt, key=key), loss, acc
 
     return step
+
+
+def make_sharded_run_epochs(mesh: Mesh, cfg: GCNConfig):
+    """Fused multi-device epoch loop: the sharded analog of train.run_epochs.
+
+    Same pass-fusion (epoch e's eval rides epoch e+1's train forward through
+    one width-concatenated halo exchange + aggregation) and the same metric
+    realignment; all epochs execute as one lax.scan device program."""
+    from cuda_gcn_tpu.ops.loss import l2_penalty
+
+    spec_inputs_of = lambda inputs: ShardedInputs(
+        src=P(GRAPH_AXIS), dst=P(GRAPH_AXIS), coef=P(GRAPH_AXIS),
+        t_src=P(GRAPH_AXIS), t_dst=P(GRAPH_AXIS), t_coef=P(GRAPH_AXIS),
+        send_idx=P(GRAPH_AXIS), x=P(GRAPH_AXIS),
+        block=inputs.block, hmax=inputs.hmax, n_local=inputs.n_local)
+
+    @partial(jax.jit, static_argnames=("epochs",), donate_argnums=(0,))
+    def run(state, inputs: ShardedInputs, truth_train, truth_val, *, epochs: int):
+        fused = jax.shard_map(
+            partial(_per_device_pair_loss, dropout_rate=cfg.dropout),
+            mesh=mesh,
+            in_specs=(P(), spec_inputs_of(inputs), P(GRAPH_AXIS), P(GRAPH_AXIS), P()),
+            out_specs=(P(), (P(), P(), P())),
+        )
+
+        def fused_loss(params, key):
+            tl, (ta, vl, va) = fused(params, inputs, truth_train, truth_val, key)
+            l2 = l2_penalty(params["w1"], cfg.weight_decay)
+            return tl + l2, (ta, vl + l2, va)
+
+        def body(state, _):
+            key, subkey = jax.random.split(state.key)
+            (tl, (ta, vl_prev, va_prev)), grads = jax.value_and_grad(
+                fused_loss, has_aux=True)(state.params, subkey)
+            params, opt = adam.apply(state.params, grads, state.opt,
+                                     adam.AdamParams(lr=cfg.learning_rate))
+            from cuda_gcn_tpu.train import TrainState
+
+            return TrainState(params=params, opt=opt, key=key), (tl, ta, vl_prev, va_prev)
+
+        state, (tl, ta, vl, va) = jax.lax.scan(body, state, None, length=epochs)
+        vl_last, va_last = sharded_loss_fn(
+            mesh, state.params, inputs, truth_val, jax.random.PRNGKey(0),
+            dropout_rate=0.0, weight_decay=cfg.weight_decay, training=False)
+        vl = jnp.concatenate([vl[1:], vl_last[None]])
+        va = jnp.concatenate([va[1:], va_last[None]])
+        return state, (tl, ta, vl, va)
+
+    return run
 
 
 def make_sharded_eval_step(mesh: Mesh, cfg: GCNConfig):

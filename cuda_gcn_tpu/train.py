@@ -170,7 +170,10 @@ _EST_SECONDS_PER_EDGE_PASS = 5e-9
 
 def pick_epoch_chunk(nnz: int, epochs: int) -> int:
     per_epoch = max(nnz * 4 * _EST_SECONDS_PER_EDGE_PASS, 1e-6)
-    return max(1, min(epochs, int(TARGET_PROGRAM_SECONDS / per_epoch)))
+    raw = max(1, min(epochs, int(TARGET_PROGRAM_SECONDS / per_epoch)))
+    # balance: equal-size chunks avoid compiling a second (tail-size) program
+    n_chunks = -(-epochs // raw)
+    return -(-epochs // n_chunks)
 
 
 def run_epochs_chunked(state: TrainState, graph: Graph, x, truth_train, truth_val, *,

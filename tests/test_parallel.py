@@ -109,3 +109,29 @@ def test_sharded_training_converges(tiny_dataset, mesh):
     test_loss, test_acc = eval_step(state.params, inputs, truths[3])
     assert float(acc) > 0.9
     assert float(test_acc) > 0.5
+
+
+def test_sharded_fused_epochs_match_stepwise(tiny_dataset, mesh):
+    """make_sharded_run_epochs (pass-fused scan) must be metric-identical to the
+    per-epoch sharded train_step + eval_step loop."""
+    cfg = GCNConfig(epochs=4, seed=0)
+    cfg, inputs, truths = sharded.prepare_sharded(cfg, tiny_dataset, mesh)
+
+    run = sharded.make_sharded_run_epochs(mesh, cfg)
+    state = train_mod.create_state(cfg)
+    state_f, (tl, ta, vl, va) = run(state, inputs, truths[1], truths[2], epochs=4)
+
+    train_step = sharded.make_sharded_train_step(mesh, cfg)
+    eval_step = sharded.make_sharded_eval_step(mesh, cfg)
+    state = train_mod.create_state(cfg)
+    ref = []
+    for _ in range(4):
+        state, loss, acc = train_step(state, inputs, truths[1])
+        v_loss, v_acc = eval_step(state.params, inputs, truths[2])
+        ref.append((float(loss), float(acc), float(v_loss), float(v_acc)))
+
+    got = np.stack([np.asarray(tl), np.asarray(ta), np.asarray(vl), np.asarray(va)], axis=1)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-6)
+    for k in state.params:
+        np.testing.assert_allclose(np.asarray(state_f.params[k]),
+                                   np.asarray(state.params[k]), rtol=1e-5, atol=1e-6)

@@ -162,3 +162,13 @@ def test_chunked_epochs_match_unchunked(tiny_dataset):
                                           epochs=6, chunk=4, **kw)
     for a, b in zip(m1, m2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_pick_epoch_chunk():
+    # tiny graph: everything in one program
+    assert train_mod.pick_epoch_chunk(13264, 100) == 100
+    # reddit-scale: bounded chunks, balanced to avoid a tail-size recompile
+    c = train_mod.pick_epoch_chunk(21_000_000, 100)
+    assert 1 <= c < 100 and 100 % -(-100 // c) in (0, 100 % c)
+    n_chunks = -(-100 // c)
+    assert c == -(-100 // n_chunks)
