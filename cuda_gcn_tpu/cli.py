@@ -50,6 +50,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="save the final train state to PATH (npz)")
     p.add_argument("--load-checkpoint", default=None, metavar="PATH",
                    help="initialize the train state from PATH before training")
+    p.add_argument("--metrics-csv", default=None, metavar="PATH",
+                   help="write the per-epoch history as CSV")
+    p.add_argument("--metrics-jsonl", default=None, metavar="PATH",
+                   help="write the per-epoch history as JSONL (with run metadata)")
     for name in _POSITIONAL:
         typ = float if name in _FLOAT_FIELDS else int
         p.add_argument(f"--{name.replace('_', '-')}", type=typ, default=None)
@@ -127,6 +131,17 @@ def main(argv: list[str] | None = None) -> int:
 
         save_state(args.save_checkpoint, result.state)
         print(f"checkpoint saved to {args.save_checkpoint}")
+    if args.metrics_csv or args.metrics_jsonl:
+        from cuda_gcn_tpu.utils.logging import write_history_csv, write_history_jsonl
+
+        if args.metrics_csv:
+            write_history_csv(args.metrics_csv, result.history)
+        if args.metrics_jsonl:
+            meta = dict(dataset=args.graph_name, seed=cfg.seed,
+                        backend=cfg.graphsum_backend, platform=platform,
+                        test_loss=result.test_loss, test_acc=result.test_acc,
+                        total_train_time=result.total_train_time)
+            write_history_jsonl(args.metrics_jsonl, result.history, run_meta=meta)
     return 0
 
 
