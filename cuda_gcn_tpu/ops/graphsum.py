@@ -94,7 +94,10 @@ def _bsr_apply(h, graph: Graph, transpose: bool):
     outb = jax.ops.segment_sum(prod, rows, num_segments=t_blocks,
                                indices_are_sorted=not transpose)  # [T, d, TB]
     dense_part = outb.transpose(1, 0, 2).reshape(d, t_blocks * tb)[:, :n].T.astype(h.dtype)
-    if transpose:
+    ell = graph.ell_bwd if transpose else graph.ell_fwd
+    if ell:  # scatter-free residual accumulation (built by default for 'bsr')
+        resid = _ell_apply(h, ell, n)
+    elif transpose:
         resid = _segment_apply(h, graph.t_src, graph.t_dst, graph.t_coef, n)
     else:
         resid = _segment_apply(h, graph.src, graph.dst, graph.coef, n)
