@@ -54,6 +54,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="write the per-epoch history as CSV")
     p.add_argument("--metrics-jsonl", default=None, metavar="PATH",
                    help="write the per-epoch history as JSONL (with run metadata)")
+    p.add_argument("--timing", action="store_true",
+                   help="print the phase-timer averages after the run "
+                        "(the reference's PRINT_TIMER_AVERAGE, src/common/timer.h:26)")
     for name in _POSITIONAL:
         typ = float if name in _FLOAT_FIELDS else int
         p.add_argument(f"--{name.replace('_', '-')}", type=typ, default=None)
@@ -142,6 +145,10 @@ def main(argv: list[str] | None = None) -> int:
                         test_loss=result.test_loss, test_acc=result.test_acc,
                         total_train_time=result.total_train_time)
             write_history_jsonl(args.metrics_jsonl, result.history, run_meta=meta)
+    if args.timing:
+        from cuda_gcn_tpu.utils.timer import timers
+
+        print(timers.report())
     return 0
 
 

@@ -13,6 +13,18 @@ import json
 FIELDS = ["epoch", "train_loss", "train_acc", "val_loss", "val_acc", "time"]
 
 
+def grad_norm(tree) -> float:
+    """L2 norm over a gradient pytree — the debug helper the reference exposes
+    as Variable::grad_norm (src/seq/variable.cpp:36-43), lifted to pytrees."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(tree)
+    if not leaves:
+        return 0.0
+    return float(jnp.sqrt(sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves)))
+
+
 def write_history_csv(path: str, history: list[dict]) -> None:
     with open(path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=FIELDS)

@@ -53,3 +53,13 @@ def test_multihost_single_process_noop(monkeypatch):
     monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
     assert multihost.initialize() is False
     assert multihost.is_primary() is True
+
+
+def test_grad_norm_pytree():
+    import jax.numpy as jnp
+
+    from cuda_gcn_tpu.utils.logging import grad_norm
+
+    tree = {"a": jnp.ones((2, 2)), "b": jnp.full((3,), 2.0)}
+    assert abs(grad_norm(tree) - (4 + 12) ** 0.5) < 1e-6
+    assert grad_norm({}) == 0.0
