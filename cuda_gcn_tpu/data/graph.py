@@ -128,18 +128,28 @@ def normalization_coefficients(indptr: np.ndarray, indices: np.ndarray) -> np.nd
     return (1.0 / np.sqrt(deg[src] * deg[indices])).astype(np.float32)
 
 
+def _ell_widths(deg: np.ndarray) -> np.ndarray:
+    """ELL bucket width per row: tight multiples of 8 for small degrees (pow2
+    buckets waste up to ~2x in padded gathers when degrees cluster just above a
+    power of two), multiples of 64 mid-range, pow2 for the hub tail. All widths
+    divide evenly into the 8/64-column chunks the ell/pallas kernels scan."""
+    d = np.maximum(deg, 1)
+    pow2 = (2 ** np.ceil(np.log2(d))).astype(np.int64)
+    return np.where(d <= 64, ((d + 7) // 8) * 8,
+                    np.where(d <= 512, ((d + 63) // 64) * 64, pow2)).astype(np.int64)
+
+
 def _ell_pack(rows_sorted: np.ndarray, deg: np.ndarray, col_of: np.ndarray,
               coef_of: np.ndarray, indptr: np.ndarray) -> list[EllBucket]:
-    """Bucket rows by ceil-pow2 degree; pad each bucket's rows to the bucket width."""
+    """Bucket rows by width class; pad each bucket's rows to the bucket width."""
     buckets: list[EllBucket] = []
     if len(rows_sorted) == 0:
         return buckets
     deg_sorted = deg[rows_sorted]
-    # bucket id = ceil(log2(max(deg,1)))
-    bucket_id = np.ceil(np.log2(np.maximum(deg_sorted, 1))).astype(np.int64)
+    bucket_id = _ell_widths(deg_sorted)
     for b in np.unique(bucket_id):
         sel = rows_sorted[bucket_id == b]
-        width = max(int(2**b), 1)  # nominal pow2 width: keeps widths chunk-divisible
+        width = int(b)
         r = len(sel)
         cols = np.zeros((r, width), dtype=np.int32)
         coef = np.zeros((r, width), dtype=np.float32)
@@ -221,13 +231,12 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
 
     ell_fwd: tuple = ()
     ell_bwd: tuple = ()
-    if with_ell and backend in ("ell", "pallas", "bsr"):
-        # for 'bsr', src/dst/coef hold only the residual edges at this point,
-        # so the ELL packing covers exactly the gather-path remainder (the
-        # scatter-free accumulation is ~12% faster than sorted segment_sum at
-        # the same gather count, docs/PERF.md)
-        f_indptr = _coo_to_csr(src, n) if backend == "bsr" else indptr
-        f_indices = dst.astype(np.int32) if backend == "bsr" else indices.astype(np.int32)
+    # Note: the 'bsr' residual deliberately stays on the sorted-segment path —
+    # ELL's padded widths cost ~26% extra gathers on the low-degree residual,
+    # which cancels the scatter-free win (measured, docs/PERF.md).
+    if with_ell and backend in ("ell", "pallas"):
+        f_indptr = indptr
+        f_indices = indices.astype(np.int32)
         fwd_buckets = _ell_pack(
             np.argsort(np.diff(f_indptr), kind="stable"),
             np.diff(f_indptr), f_indices, coef, f_indptr,
