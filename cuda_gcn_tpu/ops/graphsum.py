@@ -25,6 +25,8 @@ module.cpp:95 comment).
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -133,6 +135,51 @@ def _transpose_forward(g, graph: Graph):
     return _segment_apply(g, graph.t_src, graph.t_dst, graph.t_coef, graph.n_nodes)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class RectGraph:
+    """A rectangular sparse aggregation operator: out[N_out, d] = A · h[N_in, d]
+    with A given as sorted COO plus its precomputed (sorted) transpose.
+
+    Used by the sharded halo-exchange layer, where the interior aggregation
+    (own-block rows × own-block columns) and the boundary aggregation
+    (own-block rows × halo-buffer columns) are separate operators so XLA can
+    overlap the halo ``all_to_all`` with the interior work (SURVEY.md §5
+    "overlap halo exchange with local aggregation")."""
+
+    rows: jnp.ndarray    # (nnz,) int32, sorted
+    cols: jnp.ndarray    # (nnz,) int32 into [0, n_in)
+    coef: jnp.ndarray    # (nnz,) float32
+    t_rows: jnp.ndarray  # (nnz,) int32, sorted, into [0, n_in)
+    t_cols: jnp.ndarray  # (nnz,) int32 into [0, n_out)
+    t_coef: jnp.ndarray  # (nnz,) float32
+    n_out: int = 0
+    n_in: int = 0
+
+    def tree_flatten(self):
+        return ((self.rows, self.cols, self.coef,
+                 self.t_rows, self.t_cols, self.t_coef), (self.n_out, self.n_in))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, n_out=aux[0], n_in=aux[1])
+
+
+@jax.custom_vjp
+def rect_graphsum(h: jnp.ndarray, rg: RectGraph) -> jnp.ndarray:
+    """out[n_out, d] = A · h for h of shape [n_in, d]."""
+    return _segment_apply(h, rg.rows, rg.cols, rg.coef, rg.n_out)
+
+
+def _rect_fwd(h, rg):
+    return _segment_apply(h, rg.rows, rg.cols, rg.coef, rg.n_out), rg
+
+
+def _rect_bwd(rg, g):
+    dh = _segment_apply(g, rg.t_rows, rg.t_cols, rg.t_coef, rg.n_in)
+    return dh, _zero_cotangent(rg)
+
+
 def _zero_cotangent(tree):
     def zero(x):
         if x is None:
@@ -159,3 +206,4 @@ def _graphsum_bwd(graph, g):
 
 
 graphsum.defvjp(_graphsum_fwd, _graphsum_bwd)
+rect_graphsum.defvjp(_rect_fwd, _rect_bwd)

@@ -49,6 +49,23 @@ class PartitionedGraph:
     t_coef: np.ndarray      # [P, Emax] float32
     # send_idx[p, r, :] = block-local row ids device p sends to device r
     send_idx: np.ndarray    # [P, P, Hmax] int32
+    # --- split view of the same edges, enabling comm/compute overlap:
+    # interior edges (dst in own block), rows+cols in [0, B)
+    i_src: np.ndarray = None    # [P, Eimax] int32 sorted
+    i_dst: np.ndarray = None    # [P, Eimax] int32
+    i_coef: np.ndarray = None   # [P, Eimax] float32
+    it_src: np.ndarray = None   # [P, Eimax] transpose, sorted
+    it_dst: np.ndarray = None
+    it_coef: np.ndarray = None
+    # boundary edges (dst in the halo buffer), rows in [0,B), cols in [0, P*hmax)
+    b_src: np.ndarray = None    # [P, Ebmax] int32 sorted
+    b_dst: np.ndarray = None    # [P, Ebmax] int32 (halo-buffer-local)
+    b_coef: np.ndarray = None   # [P, Ebmax] float32
+    bt_src: np.ndarray = None   # [P, Ebmax] transpose rows in [0, P*hmax), sorted
+    bt_dst: np.ndarray = None   # [P, Ebmax] cols in [0, B)
+    bt_coef: np.ndarray = None
+    eimax: int = 0
+    ebmax: int = 0
 
     @property
     def n_local(self) -> int:
@@ -136,9 +153,56 @@ def partition_graph(csr: CSR, n_parts: int) -> PartitionedGraph:
         t_dst_l[p, :k] = s[perm]
         t_coef_l[p, :k] = c[perm]
 
+    # --- split interior/boundary edge lists (for the overlapped halo layer)
+    halo_space = n_parts * hmax
+    int_counts = np.zeros(n_parts, dtype=np.int64)
+    bnd_counts = np.zeros(n_parts, dtype=np.int64)
+    per_part = []
+    for p in range(n_parts):
+        k = int(counts[p])
+        s, d, c = src_l[p, :k], dst_l[p, :k], coef_l[p, :k]
+        interior = d < block
+        per_part.append((s, d, c, interior))
+        int_counts[p] = int(interior.sum())
+        bnd_counts[p] = k - int_counts[p]
+    eimax = max(int(int_counts.max()), 1)
+    ebmax = max(int(bnd_counts.max()), 1)
+
+    i_src = np.full((n_parts, eimax), block - 1, dtype=np.int32)
+    i_dst = np.zeros((n_parts, eimax), dtype=np.int32)
+    i_coef = np.zeros((n_parts, eimax), dtype=np.float32)
+    it_src = np.full((n_parts, eimax), block - 1, dtype=np.int32)
+    it_dst = np.zeros((n_parts, eimax), dtype=np.int32)
+    it_coef = np.zeros((n_parts, eimax), dtype=np.float32)
+    b_src = np.full((n_parts, ebmax), block - 1, dtype=np.int32)
+    b_dst = np.zeros((n_parts, ebmax), dtype=np.int32)
+    b_coef = np.zeros((n_parts, ebmax), dtype=np.float32)
+    bt_src = np.full((n_parts, ebmax), halo_space - 1, dtype=np.int32)
+    bt_dst = np.zeros((n_parts, ebmax), dtype=np.int32)
+    bt_coef = np.zeros((n_parts, ebmax), dtype=np.float32)
+
+    for p in range(n_parts):
+        s, d, c, interior = per_part[p]
+        si, di, ci = s[interior], d[interior], c[interior]
+        ki = len(si)
+        i_src[p, :ki], i_dst[p, :ki], i_coef[p, :ki] = si, di, ci  # src-sorted
+        perm = np.argsort(di, kind="stable")
+        it_src[p, :ki], it_dst[p, :ki], it_coef[p, :ki] = di[perm], si[perm], ci[perm]
+
+        sb, db, cb = s[~interior], d[~interior] - block, c[~interior]
+        kb = len(sb)
+        b_src[p, :kb], b_dst[p, :kb], b_coef[p, :kb] = sb, db, cb
+        perm = np.argsort(db, kind="stable")
+        bt_src[p, :kb], bt_dst[p, :kb], bt_coef[p, :kb] = db[perm], sb[perm], cb[perm]
+
     return PartitionedGraph(
         n_parts=n_parts, block=block, n_nodes=n, hmax=hmax, emax=emax,
         src=src_l, dst=dst_l, coef=coef_l,
         t_src=t_src_l, t_dst=t_dst_l, t_coef=t_coef_l,
         send_idx=send_idx,
+        i_src=i_src, i_dst=i_dst, i_coef=i_coef,
+        it_src=it_src, it_dst=it_dst, it_coef=it_coef,
+        b_src=b_src, b_dst=b_dst, b_coef=b_coef,
+        bt_src=bt_src, bt_dst=bt_dst, bt_coef=bt_coef,
+        eimax=eimax, ebmax=ebmax,
     )

@@ -36,11 +36,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cuda_gcn_tpu.config import GCNConfig
-from cuda_gcn_tpu.data.graph import Graph
 from cuda_gcn_tpu.data.parser import GCNDataset
 from cuda_gcn_tpu.ops import adam
 from cuda_gcn_tpu.ops.dropout import dropout
-from cuda_gcn_tpu.ops.graphsum import graphsum
+from cuda_gcn_tpu.ops.graphsum import RectGraph, rect_graphsum
 from cuda_gcn_tpu.ops.loss import l2_penalty
 from cuda_gcn_tpu.parallel.partition import PartitionedGraph, partition_graph
 
@@ -57,14 +56,15 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class ShardedInputs:
-    """Device-stacked inputs; every array's leading axis is the part axis."""
+    """Device-stacked inputs; every array's leading axis is the part axis.
 
-    src: jnp.ndarray       # [P, Emax]
-    dst: jnp.ndarray       # [P, Emax]
-    coef: jnp.ndarray      # [P, Emax]
-    t_src: jnp.ndarray     # [P, Emax]
-    t_dst: jnp.ndarray     # [P, Emax]
-    t_coef: jnp.ndarray    # [P, Emax]
+    The local edge set is carried SPLIT into interior (own-block destinations)
+    and boundary (halo destinations) operators so the per-layer all_to_all and
+    the interior aggregation have no data dependence — XLA's latency-hiding
+    scheduler overlaps them (SURVEY.md §5 halo-overlap north star)."""
+
+    interior: RectGraph    # leaves [P, Eimax]
+    boundary: RectGraph    # leaves [P, Ebmax]
     send_idx: jnp.ndarray  # [P, P, Hmax]
     x: jnp.ndarray         # [P*B, F]
     block: int
@@ -72,34 +72,38 @@ class ShardedInputs:
     n_local: int
 
     def tree_flatten(self):
-        return ((self.src, self.dst, self.coef, self.t_src, self.t_dst, self.t_coef,
-                 self.send_idx, self.x), (self.block, self.hmax, self.n_local))
+        return ((self.interior, self.boundary, self.send_idx, self.x),
+                (self.block, self.hmax, self.n_local))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         return cls(*leaves, block=aux[0], hmax=aux[1], n_local=aux[2])
 
 
-def _local_graph(src, dst, coef, t_src, t_dst, t_coef, n_local: int) -> Graph:
-    """Wrap one part's local COO (+transpose) as a Graph for the graphsum op."""
-    return Graph(src=src, dst=dst, coef=coef, t_src=t_src, t_dst=t_dst, t_coef=t_coef,
-                 ell_fwd=(), ell_bwd=(), adj=None, n_nodes=n_local, symmetric=False,
-                 backend="segment")
+def _index_rect(rg: RectGraph, i: int) -> RectGraph:
+    """Select one part's slice from stacked [P, E] leaves."""
+    return RectGraph(rows=rg.rows[i], cols=rg.cols[i], coef=rg.coef[i],
+                     t_rows=rg.t_rows[i], t_cols=rg.t_cols[i], t_coef=rg.t_coef[i],
+                     n_out=rg.n_out, n_in=rg.n_in)
 
 
-def halo_graphsum(own_h: jnp.ndarray, graph: Graph, send_idx: jnp.ndarray,
-                  block: int, hmax: int) -> jnp.ndarray:
-    """One sharded aggregation: exchange halo rows, aggregate local edges.
+def halo_graphsum(own_h: jnp.ndarray, interior: RectGraph, boundary: RectGraph,
+                  send_idx: jnp.ndarray, block: int, hmax: int) -> jnp.ndarray:
+    """One sharded aggregation: exchange halo rows while aggregating interior
+    edges, then add the boundary contribution.
 
     own_h: [B, d] this device's activation slab. send_idx: [P, Hmax] block-local
     rows to ship to each peer. Returns [B, d] aggregated rows for owned nodes.
+    The interior rect_graphsum does not depend on the all_to_all result, so XLA
+    can run the collective and the interior aggregation concurrently.
     """
     p = jax.lax.axis_size(GRAPH_AXIS)
     d = own_h.shape[1]
     send = own_h[send_idx.reshape(-1)].reshape(p, hmax, d)
     recv = jax.lax.all_to_all(send, GRAPH_AXIS, split_axis=0, concat_axis=0)
-    hx = jnp.concatenate([own_h, recv.reshape(p * hmax, d)], axis=0)  # [n_local, d]
-    return graphsum(hx, graph)[:block]
+    interior_out = rect_graphsum(own_h, interior)              # overlaps the a2a
+    halo_out = rect_graphsum(recv.reshape(p * hmax, d), boundary)
+    return interior_out + halo_out
 
 
 def _per_device_forward(params, inputs: ShardedInputs, key, dropout_rate, training):
@@ -108,10 +112,9 @@ def _per_device_forward(params, inputs: ShardedInputs, key, dropout_rate, traini
     Note: ``inputs.x`` is already the local [B, F] slab here — the shard_map
     in_spec splits its global [P*B, F] leading axis across the graph axis.
     """
-    src, dst, coef = inputs.src[0], inputs.dst[0], inputs.coef[0]
-    t_src, t_dst, t_coef = inputs.t_src[0], inputs.t_dst[0], inputs.t_coef[0]
+    interior = _index_rect(inputs.interior, 0)
+    boundary = _index_rect(inputs.boundary, 0)
     send_idx = inputs.send_idx[0]
-    graph = _local_graph(src, dst, coef, t_src, t_dst, t_coef, inputs.n_local)
 
     n_layers = len(params)
     if training and key is not None:
@@ -125,7 +128,7 @@ def _per_device_forward(params, inputs: ShardedInputs, key, dropout_rate, traini
     for i in range(n_layers):
         h = dropout(h, dropout_rate, keys[i], training)
         h = jnp.dot(h, params[f"w{i + 1}"], preferred_element_type=jnp.float32).astype(h.dtype)
-        h = halo_graphsum(h, graph, send_idx, inputs.block, inputs.hmax)
+        h = halo_graphsum(h, interior, boundary, send_idx, inputs.block, inputs.hmax)
         if i < n_layers - 1:
             h = jnp.maximum(h, 0.0)
     return h  # [B, C] local logits
@@ -160,10 +163,9 @@ def _per_device_pair(params, inputs: ShardedInputs, key, dropout_rate):
     """Fused train(dropout)+eval forwards on the local slab: one halo exchange
     and one local aggregation per layer at concatenated width (the multi-chip
     version of gcn.apply_pair — also halves the all_to_all count per epoch)."""
-    src, dst, coef = inputs.src[0], inputs.dst[0], inputs.coef[0]
-    t_src, t_dst, t_coef = inputs.t_src[0], inputs.t_dst[0], inputs.t_coef[0]
+    interior = _index_rect(inputs.interior, 0)
+    boundary = _index_rect(inputs.boundary, 0)
     send_idx = inputs.send_idx[0]
-    graph = _local_graph(src, dst, coef, t_src, t_dst, t_coef, inputs.n_local)
 
     n_layers = len(params)
     key = jax.random.fold_in(key, jax.lax.axis_index(GRAPH_AXIS))
@@ -176,8 +178,8 @@ def _per_device_pair(params, inputs: ShardedInputs, key, dropout_rate):
         zt = jnp.dot(dropout(ht, dropout_rate, keys[i], True), w,
                      preferred_element_type=jnp.float32).astype(ht.dtype)
         ze = jnp.dot(he, w, preferred_element_type=jnp.float32).astype(he.dtype)
-        both = halo_graphsum(jnp.concatenate([zt, ze], axis=1), graph, send_idx,
-                             inputs.block, inputs.hmax)
+        both = halo_graphsum(jnp.concatenate([zt, ze], axis=1), interior, boundary,
+                             send_idx, inputs.block, inputs.hmax)
         ht, he = both[:, :d], both[:, d:]
         if i < n_layers - 1:
             ht = jnp.maximum(ht, 0.0)
@@ -193,14 +195,23 @@ def _per_device_pair_loss(params, inputs, truth_train_local, truth_val_local,
     return tl, (ta, vl, va)
 
 
+def _spec_inputs_of(inputs: ShardedInputs) -> ShardedInputs:
+    """PartitionSpec-pytree matching ShardedInputs: every leaf splits on P."""
+    def rect_spec(rg):
+        return RectGraph(rows=P(GRAPH_AXIS), cols=P(GRAPH_AXIS), coef=P(GRAPH_AXIS),
+                         t_rows=P(GRAPH_AXIS), t_cols=P(GRAPH_AXIS), t_coef=P(GRAPH_AXIS),
+                         n_out=rg.n_out, n_in=rg.n_in)
+
+    return ShardedInputs(
+        interior=rect_spec(inputs.interior), boundary=rect_spec(inputs.boundary),
+        send_idx=P(GRAPH_AXIS), x=P(GRAPH_AXIS),
+        block=inputs.block, hmax=inputs.hmax, n_local=inputs.n_local)
+
+
 def sharded_loss_fn(mesh: Mesh, params, inputs: ShardedInputs, truth, key,
                     *, dropout_rate: float, weight_decay: float, training: bool):
     """shard_map-wrapped loss; differentiable in params. truth: [P*B] global."""
-    spec_inputs = ShardedInputs(
-        src=P(GRAPH_AXIS), dst=P(GRAPH_AXIS), coef=P(GRAPH_AXIS),
-        t_src=P(GRAPH_AXIS), t_dst=P(GRAPH_AXIS), t_coef=P(GRAPH_AXIS),
-        send_idx=P(GRAPH_AXIS), x=P(GRAPH_AXIS),
-        block=inputs.block, hmax=inputs.hmax, n_local=inputs.n_local)
+    spec_inputs = _spec_inputs_of(inputs)
 
     fn = jax.shard_map(
         partial(_per_device_loss, dropout_rate=dropout_rate, training=training),
@@ -219,9 +230,16 @@ def make_sharded_inputs(pg: PartitionedGraph, x: np.ndarray, mesh: Mesh) -> Shar
     def put(a):
         return jax.device_put(jnp.asarray(a), sh)
 
+    interior = RectGraph(
+        rows=put(pg.i_src), cols=put(pg.i_dst), coef=put(pg.i_coef),
+        t_rows=put(pg.it_src), t_cols=put(pg.it_dst), t_coef=put(pg.it_coef),
+        n_out=pg.block, n_in=pg.block)
+    boundary = RectGraph(
+        rows=put(pg.b_src), cols=put(pg.b_dst), coef=put(pg.b_coef),
+        t_rows=put(pg.bt_src), t_cols=put(pg.bt_dst), t_coef=put(pg.bt_coef),
+        n_out=pg.block, n_in=pg.n_parts * pg.hmax)
     return ShardedInputs(
-        src=put(pg.src), dst=put(pg.dst), coef=put(pg.coef),
-        t_src=put(pg.t_src), t_dst=put(pg.t_dst), t_coef=put(pg.t_coef),
+        interior=interior, boundary=boundary,
         send_idx=put(pg.send_idx), x=put(pg.pad_nodes(x)),
         block=pg.block, hmax=pg.hmax, n_local=pg.n_local)
 
@@ -252,20 +270,12 @@ def make_sharded_run_epochs(mesh: Mesh, cfg: GCNConfig):
     Same pass-fusion (epoch e's eval rides epoch e+1's train forward through
     one width-concatenated halo exchange + aggregation) and the same metric
     realignment; all epochs execute as one lax.scan device program."""
-    from cuda_gcn_tpu.ops.loss import l2_penalty
-
-    spec_inputs_of = lambda inputs: ShardedInputs(
-        src=P(GRAPH_AXIS), dst=P(GRAPH_AXIS), coef=P(GRAPH_AXIS),
-        t_src=P(GRAPH_AXIS), t_dst=P(GRAPH_AXIS), t_coef=P(GRAPH_AXIS),
-        send_idx=P(GRAPH_AXIS), x=P(GRAPH_AXIS),
-        block=inputs.block, hmax=inputs.hmax, n_local=inputs.n_local)
-
     @partial(jax.jit, static_argnames=("epochs",), donate_argnums=(0,))
     def run(state, inputs: ShardedInputs, truth_train, truth_val, *, epochs: int):
         fused = jax.shard_map(
             partial(_per_device_pair_loss, dropout_rate=cfg.dropout),
             mesh=mesh,
-            in_specs=(P(), spec_inputs_of(inputs), P(GRAPH_AXIS), P(GRAPH_AXIS), P()),
+            in_specs=(P(), _spec_inputs_of(inputs), P(GRAPH_AXIS), P(GRAPH_AXIS), P()),
             out_specs=(P(), (P(), P(), P())),
         )
 
