@@ -317,8 +317,19 @@ def make_sharded_eval_step(mesh: Mesh, cfg: GCNConfig):
 
 
 def prepare_sharded(cfg: GCNConfig, dataset: GCNDataset, mesh: Mesh):
-    """Partition + device-put a dataset for the mesh. Returns (cfg, inputs, truths)."""
+    """Partition + device-put a dataset for the mesh. Returns (cfg, inputs, truths).
+
+    Unless ``cfg.reorder == 'none'``, the dataset is first relabeled with the
+    LPA locality permutation (data/reorder.py) so communities land inside
+    node blocks — this is what keeps the halo (boundary) fraction low on
+    power-law graphs (SURVEY.md §7 hard part #3); training metrics are
+    permutation-invariant."""
     cfg = dataset.apply_config(cfg)
+    if cfg.reorder != "none":
+        from cuda_gcn_tpu.data.reorder import locality_permutation, reorder_dataset
+
+        perm = locality_permutation(dataset.graph)
+        dataset = reorder_dataset(dataset, perm).dataset
     pg = partition_graph(dataset.graph, mesh.shape[GRAPH_AXIS])
     x = dataset.dense_features(np.dtype(cfg.compute_dtype))
     inputs = make_sharded_inputs(pg, x, mesh)

@@ -1,0 +1,96 @@
+"""Multi-chip scaling benchmark: edges/s through the sharded halo-exchange
+trainer at mesh sizes 1..P (BASELINE.json north star: >=80% linear edges/s
+scaling on reddit full-graph training).
+
+On a real multi-chip slice this measures true ICI scaling. On this repo's
+bench environment only ONE real chip is reachable, so by default it runs on a
+virtual CPU mesh (`--platform cpu` with forced host devices) — that validates
+the partitioner/collective code path and reports the halo-volume statistics
+that determine real scaling (boundary fraction per part), but the wall-clock
+numbers are NOT chip numbers. Run on a pod with `--platform tpu`.
+
+Usage:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python scripts/bench_scaling.py --dataset pubmed --parts 1,2,4,8 --platform cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="pubmed")
+    ap.add_argument("--parts", default="1,2,4,8")
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from bench import load_bench_dataset
+    from cuda_gcn_tpu.config import GCNConfig
+    from cuda_gcn_tpu.parallel import sharded
+    from cuda_gcn_tpu.parallel.partition import partition_graph
+    from cuda_gcn_tpu import train as train_mod
+
+    ds, name = load_bench_dataset(args.dataset, "data")
+    # locality-reorder ONCE up front (prepare_sharded would otherwise redo it
+    # per mesh size); partition quality stats below then match what runs.
+    from cuda_gcn_tpu.data.reorder import locality_permutation, reorder_dataset
+
+    ds = reorder_dataset(ds, locality_permutation(ds.graph)).dataset
+    nnz = ds.graph.nnz
+    print(f"{name}: n={ds.num_nodes} nnz={nnz} devices={jax.device_count()} "
+          f"platform={jax.devices()[0].platform}", file=sys.stderr, flush=True)
+
+    results = []
+    for p in (int(s) for s in args.parts.split(",")):
+        if p > jax.device_count():
+            print(f"skip P={p}: only {jax.device_count()} devices", file=sys.stderr)
+            continue
+        pg = partition_graph(ds.graph, p)
+        boundary_frac = float(np.sum(pg.b_coef > 0) / max(nnz, 1))
+        mesh = sharded.make_mesh(p)
+        cfg = GCNConfig(epochs=args.epochs, seed=0, reorder="none")
+        cfg, inputs, truths = sharded.prepare_sharded(cfg, ds, mesh)
+        run = sharded.make_sharded_run_epochs(mesh, cfg)
+        state = train_mod.create_state(cfg)
+        # warmup/compile
+        state, m = run(state, inputs, truths[1], truths[2], epochs=args.epochs)
+        _ = [np.asarray(v) for v in m]
+        state = train_mod.create_state(cfg)
+        t0 = time.perf_counter()
+        state, m = run(state, inputs, truths[1], truths[2], epochs=args.epochs)
+        _ = [np.asarray(v) for v in m]
+        dt = time.perf_counter() - t0
+        passes = 4 * args.epochs + 2
+        eps = nnz * passes / dt
+        results.append(dict(parts=p, seconds=round(dt, 4),
+                            edges_per_s=round(eps),
+                            boundary_fraction=round(boundary_frac, 4)))
+        print(f"P={p}: {dt:.3f}s  {eps:,.0f} edge-passes/s  "
+              f"boundary={boundary_frac * 100:.1f}%", file=sys.stderr, flush=True)
+
+    if results:
+        base = results[0]["edges_per_s"] / results[0]["parts"]
+        for r in results:
+            r["scaling_efficiency"] = round(r["edges_per_s"] / (base * r["parts"]), 3)
+    print(json.dumps({"dataset": name, "epochs": args.epochs,
+                      "platform": jax.devices()[0].platform, "results": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
