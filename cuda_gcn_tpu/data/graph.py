@@ -71,6 +71,10 @@ class Graph:
     bsr_cols: jnp.ndarray | None = None   # [K] block-col ids
     bsr_tb: int = 0                       # static tile size
     bsr_nblocks: int = 0                  # static T = padded_nodes // TB
+    # Column-blocked layouts of the residual COO (large-graph 'bsr' only):
+    # gathers run ~3x faster from ≤16 MB table slices (docs/PERF.md).
+    blk_fwd: "BlockedCOODev | None" = None
+    blk_bwd: "BlockedCOODev | None" = None
     total_nnz: int = 0                    # nnz of Â incl. tile-covered edges
     n_nodes: int = 0
     symmetric: bool = True  # True when edge set is symmetric (undirected input)
@@ -86,18 +90,49 @@ class Graph:
     def tree_flatten(self):
         leaves = (self.src, self.dst, self.coef, self.t_src, self.t_dst, self.t_coef,
                   self.ell_fwd, self.ell_bwd, self.adj,
-                  self.bsr_tiles, self.bsr_rows, self.bsr_cols)
+                  self.bsr_tiles, self.bsr_rows, self.bsr_cols,
+                  self.blk_fwd, self.blk_bwd)
         return leaves, (self.n_nodes, self.symmetric, self.backend,
                         self.bsr_tb, self.bsr_nblocks, self.total_nnz)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         (src, dst, coef, t_src, t_dst, t_coef, ell_fwd, ell_bwd, adj,
-         bsr_tiles, bsr_rows, bsr_cols) = leaves
+         bsr_tiles, bsr_rows, bsr_cols, blk_fwd, blk_bwd) = leaves
         return cls(src, dst, coef, t_src, t_dst, t_coef, ell_fwd, ell_bwd, adj,
                    bsr_tiles=bsr_tiles, bsr_rows=bsr_rows, bsr_cols=bsr_cols,
+                   blk_fwd=blk_fwd, blk_bwd=blk_bwd,
                    bsr_tb=aux[3], bsr_nblocks=aux[4], total_nnz=aux[5],
                    n_nodes=aux[0], symmetric=aux[1], backend=aux[2])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BlockedCOODev:
+    """Column-blocked COO residual layout for the 'bsr' backend.
+
+    A full-table HBM row gather costs ~12.3 ns/row on the target chip, but a
+    gather from a ≤16 MB table slice costs ~4.0 ns/row (docs/PERF.md "blocked
+    gather"). The residual edges are bucketed into ``nb`` blocks of contiguous
+    column (gather-source) ranges chosen for EQUAL EDGE COUNTS (variable node
+    ranges, ~zero padding); aggregation scans the blocks, dynamic-slicing an
+    ~8-16 MB window of the activation table per block. Rows stay sorted within
+    each block so the per-block segment-sum is a sorted reduction; padding
+    lanes carry segment id n (an extra segment sliced off afterwards).
+    """
+
+    starts: jnp.ndarray  # (nb,) int32 table-window start row per block
+    rows: jnp.ndarray    # (nb, cap) int32 output row ids, sorted per block; pad = n
+    cols: jnp.ndarray    # (nb, cap) int32 LOCAL gather ids (global - starts[b]); pad 0
+    coef: jnp.ndarray    # (nb, cap) float32 edge coefficients; pad 0.0
+    width: int = 0       # static table-window width (max node range, rounded up)
+
+    def tree_flatten(self):
+        return (self.starts, self.rows, self.cols, self.coef), (self.width,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, width=aux[0])
 
 
 @jax.tree_util.register_pytree_node_class
@@ -189,6 +224,53 @@ def _coo_to_csr(rows_sorted: np.ndarray, n: int) -> np.ndarray:
     return indptr
 
 
+# Column-blocked residual (BlockedCOODev): target gather-window node count
+# (~8 MB lane-padded f32) and the node count below which the full activation
+# table is already small enough that flat gathers run at near-window speed.
+BLOCKED_RESID_TARGET_BLK = 16384
+BLOCKED_RESID_MIN_NODES = 3 * BLOCKED_RESID_TARGET_BLK
+
+
+def _blocked_pack(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray, n: int,
+                  target_blk: int = BLOCKED_RESID_TARGET_BLK) -> "BlockedCOODev | None":
+    """Bucket a row-sorted COO into equal-edge-count column blocks.
+
+    Block boundaries are column-range cuts at edge-count quantiles, so every
+    scan step does the same amount of gather work (~zero padding) while its
+    gather window stays small. Returns None for an empty residual.
+    """
+    m = len(rows)
+    if m == 0:
+        return None
+    nb = max(int(np.ceil(n / target_blk)), 1)
+    colcnt = np.bincount(cols, minlength=n)
+    cum = np.concatenate([[0], np.cumsum(colcnt)])
+    targets = (np.arange(1, nb) * m) // nb
+    bounds = np.searchsorted(cum, targets)
+    starts_nodes = np.unique(np.concatenate([[0], bounds])).astype(np.int64)
+    nb = len(starts_nodes)
+    edges_node_hi = np.concatenate([starts_nodes[1:], [n]])
+    blk_of = np.searchsorted(edges_node_hi, cols, side="right")
+    order = np.lexsort((rows, blk_of))
+    counts = np.bincount(blk_of, minlength=nb)
+    cap = int(-(-max(int(counts.max()), 1) // 8) * 8)
+    width = int(-(-int(np.max(edges_node_hi - starts_nodes)) // 8) * 8)
+    r = np.full((nb, cap), n, dtype=np.int32)
+    c = np.zeros((nb, cap), dtype=np.int32)
+    w = np.zeros((nb, cap), dtype=np.float32)
+    st = np.concatenate([[0], np.cumsum(counts)])
+    for b in range(nb):
+        sl = order[st[b]:st[b + 1]]
+        k = len(sl)
+        r[b, :k] = rows[sl]
+        c[b, :k] = cols[sl] - starts_nodes[b]
+        w[b, :k] = coef[sl]
+    return BlockedCOODev(
+        starts=jnp.asarray(starts_nodes.astype(np.int32)),
+        rows=jnp.asarray(r), cols=jnp.asarray(c), coef=jnp.asarray(w),
+        width=width)
+
+
 # 'auto' backend: dense MXU matmul below this node count; block-sparse tiles
 # (dense MXU tiles + COO residual) above.
 DENSE_BACKEND_MAX_NODES = 8192
@@ -205,7 +287,9 @@ BSR_BREAK_EVEN_BYTES_PER_EDGE = 2048
 def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
                 bsr_tile: int = BSR_DEFAULT_TILE, bsr_min_edges: int | None = None,
                 bsr_budget_bytes: int = BSR_DEFAULT_BUDGET_BYTES,
-                bsr_dtype: str = BSR_DEFAULT_DTYPE) -> Graph:
+                bsr_dtype: str = BSR_DEFAULT_DTYPE,
+                blocked_blk: int = BLOCKED_RESID_TARGET_BLK,
+                blocked_min_nodes: int = BLOCKED_RESID_MIN_NODES) -> Graph:
     """Construct the device Graph from a parsed adjacency CSR (self-loops included)."""
     n = csr.nrows
     if backend == "auto":
@@ -228,6 +312,11 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
         src, dst, coef = src[keep_residual], dst[keep_residual], coef[keep_residual]
 
     t_src, t_dst, t_coef = _transpose_coo(src, dst, coef)
+
+    blk_fwd = blk_bwd = None
+    if backend == "bsr" and n >= blocked_min_nodes:
+        blk_fwd = _blocked_pack(src, dst, coef, n, blocked_blk)
+        blk_bwd = _blocked_pack(t_src, t_dst, t_coef, n, blocked_blk)
 
     ell_fwd: tuple = ()
     ell_bwd: tuple = ()
@@ -275,6 +364,8 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
         ell_fwd=ell_fwd,
         ell_bwd=ell_bwd,
         adj=adj,
+        blk_fwd=blk_fwd,
+        blk_bwd=blk_bwd,
         total_nnz=int(csr.nnz),
         n_nodes=n,
         symmetric=symmetric,

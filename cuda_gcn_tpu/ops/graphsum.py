@@ -71,6 +71,29 @@ def _ell_apply(h, buckets, n):
     return out
 
 
+def _blocked_apply(h, bc, n):
+    """Residual aggregation over a BlockedCOODev: lax.scan over column blocks,
+    each gathering from a dynamic-sliced ≤16 MB window of the (padded)
+    activation table at ~3x flat-gather speed (docs/PERF.md "blocked gather").
+    Padding edges land in segment ``n`` which is sliced off; accumulation is
+    f32 regardless of activation dtype."""
+    d = h.shape[1]
+    w = bc.width
+    hp = jnp.pad(h, ((0, w), (0, 0)))
+
+    def step(acc, xs):
+        start, r, c, wgt = xs
+        sub = jax.lax.dynamic_slice_in_dim(hp, start, w)
+        vals = sub[c] * wgt[:, None].astype(h.dtype)
+        part = jax.ops.segment_sum(vals.astype(jnp.float32), r, num_segments=n + 1,
+                                   indices_are_sorted=True)
+        return acc + part[:n], None
+
+    acc, _ = jax.lax.scan(step, jnp.zeros((n, d), jnp.float32),
+                          (bc.starts, bc.rows, bc.cols, bc.coef))
+    return acc.astype(h.dtype)
+
+
 def _bsr_apply(h, graph: Graph, transpose: bool):
     """Block-sparse path: dense MXU tiles over contiguous node blocks + COO residual.
 
@@ -96,8 +119,11 @@ def _bsr_apply(h, graph: Graph, transpose: bool):
     outb = jax.ops.segment_sum(prod, rows, num_segments=t_blocks,
                                indices_are_sorted=not transpose)  # [T, d, TB]
     dense_part = outb.transpose(1, 0, 2).reshape(d, t_blocks * tb)[:, :n].T.astype(h.dtype)
+    blk = graph.blk_bwd if transpose else graph.blk_fwd
     ell = graph.ell_bwd if transpose else graph.ell_fwd
-    if ell:  # scatter-free residual accumulation (built by default for 'bsr')
+    if blk is not None:  # column-blocked gather windows (large graphs)
+        resid = _blocked_apply(h, blk, n)
+    elif ell:  # scatter-free residual accumulation
         resid = _ell_apply(h, ell, n)
     elif transpose:
         resid = _segment_apply(h, graph.t_src, graph.t_dst, graph.t_coef, n)

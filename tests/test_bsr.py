@@ -113,6 +113,44 @@ def test_bsr_budget_caps_tiles(clustered):
     assert g_capped.bsr_tiles.shape[0] <= 2 <= max(g_all.bsr_tiles.shape[0], 2)
 
 
+def test_blocked_residual_matches_oracle(clustered):
+    """Column-blocked residual windows (blk_fwd/blk_bwd) stay exact, fwd + vjp."""
+    ds, h = clustered
+    g = bsr_graph(ds.graph, bsr_min_edges=64, blocked_blk=32, blocked_min_nodes=0)
+    assert g.blk_fwd is not None and g.blk_bwd is not None
+    assert g.blk_fwd.rows.shape[0] > 1  # actually multi-block
+    expected = oracle.graphsum_forward(ds.graph.indptr, ds.graph.indices,
+                                       h.astype(np.float64))
+    got = np.asarray(graphsum(jnp.asarray(h), g))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+    g_seg = build_graph(ds.graph, backend="segment")
+    ga = jax.grad(lambda hh: jnp.sum(jnp.sin(graphsum(hh, g))))(jnp.asarray(h))
+    gb = jax.grad(lambda hh: jnp.sum(jnp.sin(graphsum(hh, g_seg))))(jnp.asarray(h))
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-5)
+
+
+def test_blocked_pack_covers_all_edges(clustered):
+    """Every residual edge appears exactly once across the blocks; padding is
+    confined to coef==0 lanes with row id n."""
+    ds, _ = clustered
+    g = bsr_graph(ds.graph, bsr_min_edges=64, blocked_blk=32, blocked_min_nodes=0)
+    n = ds.num_nodes
+    bc = g.blk_fwd
+    starts = np.asarray(bc.starts)
+    rows = np.asarray(bc.rows)
+    cols = np.asarray(bc.cols)
+    coef = np.asarray(bc.coef)
+    real = rows != n
+    # reconstruct global (row, col, coef) triples and compare to the flat COO
+    gcols = (cols + starts[:, None])[real]
+    triples = sorted(zip(rows[real].tolist(), gcols.tolist(), coef[real].tolist()))
+    flat = sorted(zip(np.asarray(g.src).tolist(), np.asarray(g.dst).tolist(),
+                      np.asarray(g.coef).tolist()))
+    assert triples == flat
+    assert np.all(coef[~real] == 0.0)
+
+
 def test_label_propagation_finds_planted_communities():
     spec = SynthSpec(num_nodes=200, num_edges=3000, num_classes=2, input_dim=8,
                      nnz_per_node=3, homophily=0.95, train_per_class=5,
