@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--backends", default="bsr,segment")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--reorder", action="store_true",
+                    help="apply the cached LPA locality permutation (production bench config)")
     args = ap.parse_args()
 
     import jax
@@ -51,6 +53,10 @@ def main():
     from cuda_gcn_tpu import train as train_mod
 
     ds, name = load_bench_dataset(args.dataset, "data")
+    if args.reorder:
+        from bench import maybe_reorder_cached
+
+        ds = maybe_reorder_cached(ds, name)
     cfg = ds.apply_config(GCNConfig(compute_dtype=args.dtype))
     dt = jnp.dtype(args.dtype)
     n, f, hd, c = cfg.num_nodes, cfg.input_dim, cfg.hidden_dim, cfg.output_dim
