@@ -231,14 +231,10 @@ BLOCKED_RESID_TARGET_BLK = 16384
 BLOCKED_RESID_MIN_NODES = 3 * BLOCKED_RESID_TARGET_BLK
 
 
-def _blocked_pack(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray, n: int,
-                  target_blk: int = BLOCKED_RESID_TARGET_BLK) -> "BlockedCOODev | None":
-    """Bucket a row-sorted COO into equal-edge-count column blocks.
-
-    Block boundaries are column-range cuts at edge-count quantiles, so every
-    scan step does the same amount of gather work (~zero padding) while its
-    gather window stays small. Returns None for an empty residual.
-    """
+def _blocked_pack_arrays(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray,
+                         n: int, target_blk: int = BLOCKED_RESID_TARGET_BLK):
+    """Host-side core of _blocked_pack: returns (starts, r, c, w, width) numpy
+    arrays, or None for an empty edge set (see _blocked_pack)."""
     m = len(rows)
     if m == 0:
         return None
@@ -265,8 +261,23 @@ def _blocked_pack(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray, n: int,
         r[b, :k] = rows[sl]
         c[b, :k] = cols[sl] - starts_nodes[b]
         w[b, :k] = coef[sl]
+    return starts_nodes.astype(np.int32), r, c, w, width
+
+
+def _blocked_pack(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray, n: int,
+                  target_blk: int = BLOCKED_RESID_TARGET_BLK) -> "BlockedCOODev | None":
+    """Bucket a row-sorted COO into equal-edge-count column blocks.
+
+    Block boundaries are column-range cuts at edge-count quantiles, so every
+    scan step does the same amount of gather work (~zero padding) while its
+    gather window stays small. Returns None for an empty residual.
+    """
+    packed = _blocked_pack_arrays(rows, cols, coef, n, target_blk)
+    if packed is None:
+        return None
+    starts, r, c, w, width = packed
     return BlockedCOODev(
-        starts=jnp.asarray(starts_nodes.astype(np.int32)),
+        starts=jnp.asarray(starts),
         rows=jnp.asarray(r), cols=jnp.asarray(c), coef=jnp.asarray(w),
         width=width)
 

@@ -89,7 +89,10 @@ def _blocked_apply(h, bc, n):
                                    indices_are_sorted=True)
         return acc + part[:n], None
 
-    acc, _ = jax.lax.scan(step, jnp.zeros((n, d), jnp.float32),
+    # derive the zero carry from a graph leaf so its varying-axis type matches
+    # the scanned operands under shard_map (coef is finite by construction)
+    zero = (bc.coef[0, 0] * 0).astype(jnp.float32)
+    acc, _ = jax.lax.scan(step, jnp.zeros((n, d), jnp.float32) + zero,
                           (bc.starts, bc.rows, bc.cols, bc.coef))
     return acc.astype(h.dtype)
 
@@ -171,7 +174,14 @@ class RectGraph:
     (own-block rows × own-block columns) and the boundary aggregation
     (own-block rows × halo-buffer columns) are separate operators so XLA can
     overlap the halo ``all_to_all`` with the interior work (SURVEY.md §5
-    "overlap halo exchange with local aggregation")."""
+    "overlap halo exchange with local aggregation").
+
+    The square interior operator optionally carries the same accelerated
+    layouts as the single-chip 'bsr' backend (data/graph.py): dense MXU tiles
+    over the densest [tb, tb] blocks of the local sub-adjacency (the COO
+    fields then hold only residual edges) and column-blocked gather windows
+    for the residual. Tiles require n_out == n_in (square local block); the
+    transpose pass reuses the SAME tile array with swapped contraction."""
 
     rows: jnp.ndarray    # (nnz,) int32, sorted
     cols: jnp.ndarray    # (nnz,) int32 into [0, n_in)
@@ -179,30 +189,75 @@ class RectGraph:
     t_rows: jnp.ndarray  # (nnz,) int32, sorted, into [0, n_in)
     t_cols: jnp.ndarray  # (nnz,) int32 into [0, n_out)
     t_coef: jnp.ndarray  # (nnz,) float32
+    tiles: jnp.ndarray | None = None      # [K, tb, tb] dense tile values
+    tile_rows: jnp.ndarray | None = None  # [K] block-row ids (sorted)
+    tile_cols: jnp.ndarray | None = None  # [K] block-col ids
+    blk_fwd: "object | None" = None       # BlockedCOODev for the residual
+    blk_bwd: "object | None" = None
     n_out: int = 0
     n_in: int = 0
+    tb: int = 0          # static tile size (0 = no tiles)
+    nblocks: int = 0     # static ceil(padded n / tb)
 
     def tree_flatten(self):
         return ((self.rows, self.cols, self.coef,
-                 self.t_rows, self.t_cols, self.t_coef), (self.n_out, self.n_in))
+                 self.t_rows, self.t_cols, self.t_coef,
+                 self.tiles, self.tile_rows, self.tile_cols,
+                 self.blk_fwd, self.blk_bwd),
+                (self.n_out, self.n_in, self.tb, self.nblocks))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, n_out=aux[0], n_in=aux[1])
+        (rows, cols, coef, t_rows, t_cols, t_coef,
+         tiles, tile_rows, tile_cols, blk_fwd, blk_bwd) = leaves
+        return cls(rows, cols, coef, t_rows, t_cols, t_coef,
+                   tiles=tiles, tile_rows=tile_rows, tile_cols=tile_cols,
+                   blk_fwd=blk_fwd, blk_bwd=blk_bwd,
+                   n_out=aux[0], n_in=aux[1], tb=aux[2], nblocks=aux[3])
+
+
+def _rect_tile_apply(h, rg: RectGraph, transpose: bool):
+    """Dense-tile contribution for a square RectGraph (same transposed-layout
+    einsum as the single-chip bsr backend, _bsr_apply)."""
+    n, d = rg.n_out, h.shape[1]
+    tb, t_blocks = rg.tb, rg.nblocks
+    rows, cols = ((rg.tile_cols, rg.tile_rows) if transpose
+                  else (rg.tile_rows, rg.tile_cols))
+    hT = jnp.pad(h, ((0, t_blocks * tb - n), (0, 0))).T.reshape(d, t_blocks, tb)
+    hbT = hT[:, cols]
+    spec = "kji,dkj->kdi" if transpose else "kij,dkj->kdi"
+    prod = jnp.einsum(spec, rg.tiles, hbT, preferred_element_type=jnp.float32)
+    outb = jax.ops.segment_sum(prod, rows, num_segments=t_blocks,
+                               indices_are_sorted=not transpose)
+    return outb.transpose(1, 0, 2).reshape(d, t_blocks * tb)[:, :n].T.astype(h.dtype)
+
+
+def _rect_apply(h, rg: RectGraph, transpose: bool):
+    if transpose:
+        rows, cols, coef, n, blk = rg.t_rows, rg.t_cols, rg.t_coef, rg.n_in, rg.blk_bwd
+    else:
+        rows, cols, coef, n, blk = rg.rows, rg.cols, rg.coef, rg.n_out, rg.blk_fwd
+    if blk is not None:
+        out = _blocked_apply(h, blk, n)
+    else:
+        out = _segment_apply(h, rows, cols, coef, n)
+    if rg.tiles is not None and rg.tiles.shape[0] > 0:
+        out = out + _rect_tile_apply(h, rg, transpose)
+    return out
 
 
 @jax.custom_vjp
 def rect_graphsum(h: jnp.ndarray, rg: RectGraph) -> jnp.ndarray:
     """out[n_out, d] = A · h for h of shape [n_in, d]."""
-    return _segment_apply(h, rg.rows, rg.cols, rg.coef, rg.n_out)
+    return _rect_apply(h, rg, transpose=False)
 
 
 def _rect_fwd(h, rg):
-    return _segment_apply(h, rg.rows, rg.cols, rg.coef, rg.n_out), rg
+    return _rect_apply(h, rg, transpose=False), rg
 
 
 def _rect_bwd(rg, g):
-    dh = _segment_apply(g, rg.t_rows, rg.t_cols, rg.t_coef, rg.n_in)
+    dh = _rect_apply(g, rg, transpose=True)
     return dh, _zero_cotangent(rg)
 
 

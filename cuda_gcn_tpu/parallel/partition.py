@@ -26,7 +26,10 @@ import dataclasses
 
 import numpy as np
 
-from cuda_gcn_tpu.data.graph import normalization_coefficients
+from cuda_gcn_tpu.data.graph import (
+    BLOCKED_RESID_MIN_NODES, BLOCKED_RESID_TARGET_BLK, BSR_DEFAULT_BUDGET_BYTES,
+    BSR_DEFAULT_DTYPE, BSR_DEFAULT_TILE, _blocked_pack_arrays, _np_dtype,
+    _select_bsr_tiles, normalization_coefficients)
 from cuda_gcn_tpu.data.parser import CSR
 
 
@@ -66,6 +69,25 @@ class PartitionedGraph:
     bt_coef: np.ndarray = None
     eimax: int = 0
     ebmax: int = 0
+    # --- optional accelerated interior layouts (see parallel/sharded.py and
+    # ops/graphsum.py RectGraph): dense MXU tiles of each part's square local
+    # sub-adjacency + column-blocked gather windows for the interior residual.
+    # When present, i_*/it_* above hold ONLY the interior residual edges.
+    i_tiles: np.ndarray = None       # [P, Kmax, tb, tb]
+    i_tile_rows: np.ndarray = None   # [P, Kmax] block-row ids, sorted per part
+    i_tile_cols: np.ndarray = None   # [P, Kmax]
+    tb: int = 0                      # tile size (0 = no tiles)
+    i_nblocks: int = 0               # ceil(block / tb)
+    # column-blocked interior residual (None fields = not built)
+    i_blk_starts: np.ndarray = None  # [P, nb]
+    i_blk_rows: np.ndarray = None    # [P, nb, cap]
+    i_blk_cols: np.ndarray = None
+    i_blk_coef: np.ndarray = None
+    it_blk_starts: np.ndarray = None
+    it_blk_rows: np.ndarray = None
+    it_blk_cols: np.ndarray = None
+    it_blk_coef: np.ndarray = None
+    blk_width: int = 0               # static gather-window width (max over parts)
 
     @property
     def n_local(self) -> int:
@@ -85,8 +107,56 @@ class PartitionedGraph:
         return np.pad(arr, widths, constant_values=fill)
 
 
-def partition_graph(csr: CSR, n_parts: int) -> PartitionedGraph:
-    """Partition a parsed adjacency CSR (self-loops included) into n_parts blocks."""
+def _stack_blocked(fwd_resid, bwd_resid, block: int, blocked_blk: int) -> dict:
+    """Column-block each part's interior residual (fwd + transpose) and pad the
+    per-part packings to uniform [P, nb, cap] shapes (SPMD needs one static
+    program). Padded blocks/lanes carry segment id ``block`` (dropped) and
+    coefficient 0; the static gather-window width is the max over parts."""
+    packs = []
+    for triples in (fwd_resid, bwd_resid):
+        packs.append([_blocked_pack_arrays(r, c, w, block, blocked_blk)
+                      for (r, c, w) in triples])
+    if any(p is None for pp in packs for p in pp):
+        return {}
+    nb = max(len(p[0]) for pp in packs for p in pp)
+    cap = max(p[1].shape[1] for pp in packs for p in pp)
+    width = max(p[4] for pp in packs for p in pp)
+    out = {}
+    for name, pp in (("i_blk", packs[0]), ("it_blk", packs[1])):
+        P = len(pp)
+        starts = np.zeros((P, nb), dtype=np.int32)
+        rows = np.full((P, nb, cap), block, dtype=np.int32)
+        cols = np.zeros((P, nb, cap), dtype=np.int32)
+        coef = np.zeros((P, nb, cap), dtype=np.float32)
+        for p, (st, r, c, w, _) in enumerate(pp):
+            k, m = len(st), r.shape[1]
+            starts[p, :k] = st
+            rows[p, :k, :m] = r
+            cols[p, :k, :m] = c
+            coef[p, :k, :m] = w
+        out[f"{name}_starts"] = starts
+        out[f"{name}_rows"] = rows
+        out[f"{name}_cols"] = cols
+        out[f"{name}_coef"] = coef
+    out["blk_width"] = int(width)
+    return out
+
+
+def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
+                    bsr_tile: int = BSR_DEFAULT_TILE,
+                    bsr_min_edges: int | None = None,
+                    bsr_budget_bytes: int = BSR_DEFAULT_BUDGET_BYTES,
+                    bsr_dtype: str = BSR_DEFAULT_DTYPE,
+                    blocked_blk: int = BLOCKED_RESID_TARGET_BLK,
+                    blocked_min_nodes: int = BLOCKED_RESID_MIN_NODES) -> PartitionedGraph:
+    """Partition a parsed adjacency CSR (self-loops included) into n_parts blocks.
+
+    With ``interior_tiles``, each part's square interior sub-adjacency gets the
+    single-chip 'bsr' treatment (data/graph.py): its densest [tb, tb] blocks
+    become dense MXU tiles (uniformly padded to the max tile count across
+    parts), and the interior residual gets column-blocked gather windows when
+    the part block is large enough. The per-part tile budget is the global
+    budget / n_parts."""
     n = csr.nrows
     indptr = csr.indptr.astype(np.int64)
     indices = csr.indices.astype(np.int64)
@@ -165,6 +235,36 @@ def partition_graph(csr: CSR, n_parts: int) -> PartitionedGraph:
         per_part.append((s, d, c, interior))
         int_counts[p] = int(interior.sum())
         bnd_counts[p] = k - int_counts[p]
+
+    # --- optional: per-part dense tiles of the interior; i_* keep the residual
+    tile_kwargs: dict = {}
+    interior_resid = None
+    if interior_tiles:
+        dtype = _np_dtype(bsr_dtype)
+        per_budget = max(bsr_budget_bytes // n_parts, bsr_tile * bsr_tile * dtype.itemsize)
+        tiles_pp, interior_resid = [], []
+        i_nblocks = -(-block // bsr_tile)
+        for p in range(n_parts):
+            s, d, c, interior = per_part[p]
+            si, di, ci = s[interior].astype(np.int64), d[interior].astype(np.int64), c[interior]
+            (tiles, trows, tcols, _, _), keep = _select_bsr_tiles(
+                si, di, ci, block, bsr_tile, bsr_min_edges, per_budget, dtype)
+            tiles_pp.append((tiles, trows, tcols))
+            interior_resid.append((si[keep].astype(np.int32),
+                                   di[keep].astype(np.int32), ci[keep]))
+            int_counts[p] = len(interior_resid[-1][0])
+        kmax = max(max(len(t[1]) for t in tiles_pp), 1)
+        i_tiles = np.zeros((n_parts, kmax, bsr_tile, bsr_tile), dtype=dtype)
+        i_tile_rows = np.zeros((n_parts, kmax), dtype=np.int32)
+        i_tile_cols = np.zeros((n_parts, kmax), dtype=np.int32)
+        for p, (tiles, trows, tcols) in enumerate(tiles_pp):
+            kk = len(trows)
+            i_tiles[p, :kk] = tiles
+            i_tile_rows[p, :kk] = trows
+            i_tile_cols[p, :kk] = tcols
+        tile_kwargs = dict(i_tiles=i_tiles, i_tile_rows=i_tile_rows,
+                           i_tile_cols=i_tile_cols, tb=bsr_tile, i_nblocks=i_nblocks)
+
     eimax = max(int(int_counts.max()), 1)
     ebmax = max(int(bnd_counts.max()), 1)
 
@@ -181,19 +281,30 @@ def partition_graph(csr: CSR, n_parts: int) -> PartitionedGraph:
     bt_dst = np.zeros((n_parts, ebmax), dtype=np.int32)
     bt_coef = np.zeros((n_parts, ebmax), dtype=np.float32)
 
+    fwd_resid, bwd_resid = [], []
     for p in range(n_parts):
         s, d, c, interior = per_part[p]
-        si, di, ci = s[interior], d[interior], c[interior]
+        if interior_resid is not None:
+            si, di, ci = interior_resid[p]
+        else:
+            si, di, ci = s[interior], d[interior], c[interior]
         ki = len(si)
         i_src[p, :ki], i_dst[p, :ki], i_coef[p, :ki] = si, di, ci  # src-sorted
         perm = np.argsort(di, kind="stable")
         it_src[p, :ki], it_dst[p, :ki], it_coef[p, :ki] = di[perm], si[perm], ci[perm]
+        fwd_resid.append((si, di, ci))
+        bwd_resid.append((di[perm], si[perm], ci[perm]))
 
         sb, db, cb = s[~interior], d[~interior] - block, c[~interior]
         kb = len(sb)
         b_src[p, :kb], b_dst[p, :kb], b_coef[p, :kb] = sb, db, cb
         perm = np.argsort(db, kind="stable")
         bt_src[p, :kb], bt_dst[p, :kb], bt_coef[p, :kb] = db[perm], sb[perm], cb[perm]
+
+    # --- optional: column-blocked gather windows for the interior residual
+    blk_kwargs: dict = {}
+    if interior_tiles and block >= blocked_min_nodes:
+        blk_kwargs = _stack_blocked(fwd_resid, bwd_resid, block, blocked_blk)
 
     return PartitionedGraph(
         n_parts=n_parts, block=block, n_nodes=n, hmax=hmax, emax=emax,
@@ -205,4 +316,5 @@ def partition_graph(csr: CSR, n_parts: int) -> PartitionedGraph:
         b_src=b_src, b_dst=b_dst, b_coef=b_coef,
         bt_src=bt_src, bt_dst=bt_dst, bt_coef=bt_coef,
         eimax=eimax, ebmax=ebmax,
+        **tile_kwargs, **blk_kwargs,
     )

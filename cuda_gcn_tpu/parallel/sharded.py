@@ -81,10 +81,9 @@ class ShardedInputs:
 
 
 def _index_rect(rg: RectGraph, i: int) -> RectGraph:
-    """Select one part's slice from stacked [P, E] leaves."""
-    return RectGraph(rows=rg.rows[i], cols=rg.cols[i], coef=rg.coef[i],
-                     t_rows=rg.t_rows[i], t_cols=rg.t_cols[i], t_coef=rg.t_coef[i],
-                     n_out=rg.n_out, n_in=rg.n_in)
+    """Select one part's slice from stacked [P, ...] leaves (covers the COO
+    fields and, when present, the tile arrays and BlockedCOODev residuals)."""
+    return jax.tree_util.tree_map(lambda a: a[i], rg)
 
 
 def halo_graphsum(own_h: jnp.ndarray, interior: RectGraph, boundary: RectGraph,
@@ -198,9 +197,7 @@ def _per_device_pair_loss(params, inputs, truth_train_local, truth_val_local,
 def _spec_inputs_of(inputs: ShardedInputs) -> ShardedInputs:
     """PartitionSpec-pytree matching ShardedInputs: every leaf splits on P."""
     def rect_spec(rg):
-        return RectGraph(rows=P(GRAPH_AXIS), cols=P(GRAPH_AXIS), coef=P(GRAPH_AXIS),
-                         t_rows=P(GRAPH_AXIS), t_cols=P(GRAPH_AXIS), t_coef=P(GRAPH_AXIS),
-                         n_out=rg.n_out, n_in=rg.n_in)
+        return jax.tree_util.tree_map(lambda _: P(GRAPH_AXIS), rg)
 
     return ShardedInputs(
         interior=rect_spec(inputs.interior), boundary=rect_spec(inputs.boundary),
@@ -230,10 +227,23 @@ def make_sharded_inputs(pg: PartitionedGraph, x: np.ndarray, mesh: Mesh) -> Shar
     def put(a):
         return jax.device_put(jnp.asarray(a), sh)
 
+    tile_kw: dict = {}
+    if pg.i_tiles is not None:
+        tile_kw = dict(tiles=put(pg.i_tiles), tile_rows=put(pg.i_tile_rows),
+                       tile_cols=put(pg.i_tile_cols), tb=pg.tb, nblocks=pg.i_nblocks)
+    if pg.i_blk_rows is not None:
+        from cuda_gcn_tpu.data.graph import BlockedCOODev
+
+        tile_kw["blk_fwd"] = BlockedCOODev(
+            starts=put(pg.i_blk_starts), rows=put(pg.i_blk_rows),
+            cols=put(pg.i_blk_cols), coef=put(pg.i_blk_coef), width=pg.blk_width)
+        tile_kw["blk_bwd"] = BlockedCOODev(
+            starts=put(pg.it_blk_starts), rows=put(pg.it_blk_rows),
+            cols=put(pg.it_blk_cols), coef=put(pg.it_blk_coef), width=pg.blk_width)
     interior = RectGraph(
         rows=put(pg.i_src), cols=put(pg.i_dst), coef=put(pg.i_coef),
         t_rows=put(pg.it_src), t_cols=put(pg.it_dst), t_coef=put(pg.it_coef),
-        n_out=pg.block, n_in=pg.block)
+        n_out=pg.block, n_in=pg.block, **tile_kw)
     boundary = RectGraph(
         rows=put(pg.b_src), cols=put(pg.b_dst), coef=put(pg.b_coef),
         t_rows=put(pg.bt_src), t_cols=put(pg.bt_dst), t_coef=put(pg.bt_coef),
@@ -330,7 +340,14 @@ def prepare_sharded(cfg: GCNConfig, dataset: GCNDataset, mesh: Mesh):
 
         perm = locality_permutation(dataset.graph)
         dataset = reorder_dataset(dataset, perm).dataset
-    pg = partition_graph(dataset.graph, mesh.shape[GRAPH_AXIS])
+    n_parts = mesh.shape[GRAPH_AXIS]
+    block = -(-dataset.num_nodes // n_parts)
+    from cuda_gcn_tpu.data.graph import DENSE_BACKEND_MAX_NODES
+
+    interior_tiles = (cfg.graphsum_backend == "bsr"
+                      or (cfg.graphsum_backend == "auto"
+                          and block > DENSE_BACKEND_MAX_NODES))
+    pg = partition_graph(dataset.graph, n_parts, interior_tiles=interior_tiles)
     x = dataset.dense_features(np.dtype(cfg.compute_dtype))
     inputs = make_sharded_inputs(pg, x, mesh)
     sh = NamedSharding(mesh, P(GRAPH_AXIS))

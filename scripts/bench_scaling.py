@@ -32,6 +32,8 @@ def main() -> int:
     ap.add_argument("--parts", default="1,2,4,8")
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    ap.add_argument("--interior", default="auto", choices=["auto", "segment"],
+                    help="interior aggregation: auto (tiles+blocked for large blocks) or plain sorted-segment")
     args = ap.parse_args()
 
     import jax
@@ -63,7 +65,8 @@ def main() -> int:
         pg = partition_graph(ds.graph, p)
         boundary_frac = float(np.sum(pg.b_coef > 0) / max(nnz, 1))
         mesh = sharded.make_mesh(p)
-        cfg = GCNConfig(epochs=args.epochs, seed=0, reorder="none")
+        cfg = GCNConfig(epochs=args.epochs, seed=0, reorder="none",
+                        graphsum_backend="segment" if args.interior == "segment" else "auto")
         cfg, inputs, truths = sharded.prepare_sharded(cfg, ds, mesh)
         run = sharded.make_sharded_run_epochs(mesh, cfg)
         state = train_mod.create_state(cfg)

@@ -70,6 +70,55 @@ def test_sharded_forward_matches_single(tiny_dataset, mesh):
     np.testing.assert_allclose(float(acc_sharded), float(acc_single), rtol=1e-6)
 
 
+def test_sharded_tiled_interior_matches_single(tiny_dataset):
+    """The accelerated interior (dense MXU tiles + column-blocked residual
+    windows) must agree with the single-device forward AND produce the same
+    gradients (exercises _rect_tile_apply fwd + transpose and the stacked
+    BlockedCOODev path)."""
+    ds = tiny_dataset
+    mesh2 = sharded.make_mesh(2)
+    cfg = ds.apply_config(GCNConfig(hidden_dim=8))
+    params = gcn.init_params(jax.random.PRNGKey(3), cfg.layer_dims())
+
+    graph = build_graph(ds.graph, backend="segment")
+    x = jnp.asarray(ds.dense_features())
+    truth = train_mod.make_truth(ds.split, ds.label, 3)
+
+    pg = partition_graph(ds.graph, 2, interior_tiles=True, bsr_tile=16,
+                         bsr_min_edges=4, bsr_dtype="float32",
+                         blocked_blk=16, blocked_min_nodes=0)
+    assert pg.i_tiles is not None and pg.i_tiles.shape[1] > 0
+    assert pg.i_blk_rows is not None
+    # i_* now hold only the residual: fewer interior edges than total
+    assert int((pg.i_coef > 0).sum()) < int((pg.coef > 0).sum())
+    inputs = sharded.make_sharded_inputs(pg, ds.dense_features(), mesh2)
+    sh_truth = jax.device_put(
+        jnp.asarray(pg.pad_nodes(np.asarray(truth), fill=-1)),
+        jax.sharding.NamedSharding(mesh2, jax.sharding.PartitionSpec(sharded.GRAPH_AXIS)))
+
+    eval_step = sharded.make_sharded_eval_step(mesh2, cfg)
+    loss_sharded, acc_sharded = eval_step(params, inputs, sh_truth)
+    loss_single, acc_single = train_mod.eval_step(
+        params, graph, x, truth, weight_decay=cfg.weight_decay)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_single), rtol=1e-5)
+    np.testing.assert_allclose(float(acc_sharded), float(acc_single), rtol=1e-6)
+
+    # gradients through the tiled+blocked interior == plain segment gradients
+    def sh_loss(p):
+        return sharded.sharded_loss_fn(
+            mesh2, p, inputs, sh_truth, jax.random.PRNGKey(0),
+            dropout_rate=0.0, weight_decay=cfg.weight_decay, training=False)[0]
+
+    def single_loss(p):
+        return gcn.loss_fn(p, graph, x, truth, weight_decay=cfg.weight_decay)[0]
+
+    gs = jax.grad(sh_loss)(params)
+    g1 = jax.grad(single_loss)(params)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(gs[k]), np.asarray(g1[k]),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_sharded_train_step_matches_single(tiny_dataset, mesh):
     """One no-dropout training step must produce identical weights to the
     single-device path (same grads through halo exchange + transposes)."""
