@@ -315,6 +315,31 @@ def make_sharded_run_epochs(mesh: Mesh, cfg: GCNConfig):
     return run
 
 
+def run_sharded_epochs_chunked(mesh: Mesh, cfg: GCNConfig, state, inputs,
+                               truth_train, truth_val, *, epochs: int,
+                               chunk: int | None = None, run=None):
+    """make_sharded_run_epochs in fixed-size chunks, materializing metrics
+    between chunks (the sharded analog of train.run_epochs_chunked — bounds
+    single-device-program runtime, which matters on tunneled backends)."""
+    import numpy as np
+
+    from cuda_gcn_tpu.train import pick_epoch_chunk
+
+    if chunk is None:
+        nnz = int(inputs.interior.coef.size + inputs.boundary.coef.size)
+        chunk = pick_epoch_chunk(nnz, epochs)
+    if run is None:
+        run = make_sharded_run_epochs(mesh, cfg)  # reuse across calls to avoid re-jit
+    parts: list[list[np.ndarray]] = []
+    done = 0
+    while done < epochs:
+        k = min(chunk, epochs - done)
+        state, m = run(state, inputs, truth_train, truth_val, epochs=k)
+        parts.append([np.asarray(v) for v in m])
+        done += k
+    return state, [np.concatenate([p[i] for p in parts]) for i in range(4)]
+
+
 def make_sharded_eval_step(mesh: Mesh, cfg: GCNConfig):
     @jax.jit
     def step(params, inputs: ShardedInputs, truth):

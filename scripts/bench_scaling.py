@@ -70,13 +70,13 @@ def main() -> int:
         cfg, inputs, truths = sharded.prepare_sharded(cfg, ds, mesh)
         run = sharded.make_sharded_run_epochs(mesh, cfg)
         state = train_mod.create_state(cfg)
-        # warmup/compile
-        state, m = run(state, inputs, truths[1], truths[2], epochs=args.epochs)
-        _ = [np.asarray(v) for v in m]
+        # warmup/compile (chunked: bounds device-program runtime on the tunnel)
+        state, m = sharded.run_sharded_epochs_chunked(
+            mesh, cfg, state, inputs, truths[1], truths[2], epochs=args.epochs, run=run)
         state = train_mod.create_state(cfg)
         t0 = time.perf_counter()
-        state, m = run(state, inputs, truths[1], truths[2], epochs=args.epochs)
-        _ = [np.asarray(v) for v in m]
+        state, m = sharded.run_sharded_epochs_chunked(
+            mesh, cfg, state, inputs, truths[1], truths[2], epochs=args.epochs, run=run)
         dt = time.perf_counter() - t0
         passes = 4 * args.epochs + 2
         eps = nnz * passes / dt
