@@ -76,13 +76,14 @@ class Graph:
     blk_fwd: "BlockedCOODev | None" = None
     blk_bwd: "BlockedCOODev | None" = None
     total_nnz: int = 0                    # nnz of Â incl. tile-covered edges
+    resid_nnz: int = 0                    # residual edge count (survives placeholder COO)
     n_nodes: int = 0
     symmetric: bool = True  # True when edge set is symmetric (undirected input)
     backend: str = "segment"  # static: 'segment' | 'ell' | 'pallas' | 'dense' | 'bsr'
 
     @property
     def nnz(self) -> int:
-        return int(self.src.shape[0])
+        return self.resid_nnz or int(self.src.shape[0])
 
     def with_backend(self, backend: str) -> "Graph":
         return dataclasses.replace(self, backend=backend)
@@ -93,7 +94,7 @@ class Graph:
                   self.bsr_tiles, self.bsr_rows, self.bsr_cols,
                   self.blk_fwd, self.blk_bwd)
         return leaves, (self.n_nodes, self.symmetric, self.backend,
-                        self.bsr_tb, self.bsr_nblocks, self.total_nnz)
+                        self.bsr_tb, self.bsr_nblocks, self.total_nnz, self.resid_nnz)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -103,7 +104,7 @@ class Graph:
                    bsr_tiles=bsr_tiles, bsr_rows=bsr_rows, bsr_cols=bsr_cols,
                    blk_fwd=blk_fwd, blk_bwd=blk_bwd,
                    bsr_tb=aux[3], bsr_nblocks=aux[4], total_nnz=aux[5],
-                   n_nodes=aux[0], symmetric=aux[1], backend=aux[2])
+                   resid_nnz=aux[6], n_nodes=aux[0], symmetric=aux[1], backend=aux[2])
 
 
 @jax.tree_util.register_pytree_node_class
@@ -229,6 +230,9 @@ def _coo_to_csr(rows_sorted: np.ndarray, n: int) -> np.ndarray:
 # table is already small enough that flat gathers run at near-window speed.
 BLOCKED_RESID_TARGET_BLK = 16384
 BLOCKED_RESID_MIN_NODES = 3 * BLOCKED_RESID_TARGET_BLK
+# Above this residual size, the flat COO device copy is dropped once the
+# blocked layout exists (it would only duplicate the same edges in HBM).
+FLAT_RESID_MAX_NNZ = 30_000_000
 
 
 def _blocked_pack_arrays(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray,
@@ -317,6 +321,7 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
 
     bsr = None
     if backend == "bsr":
+        bsr_budget_bytes = min(bsr_budget_bytes, _device_budget_cap())
         bsr, keep_residual = _select_bsr_tiles(
             src, dst, coef, n, bsr_tile, bsr_min_edges, bsr_budget_bytes,
             _np_dtype(bsr_dtype))
@@ -325,9 +330,19 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
     t_src, t_dst, t_coef = _transpose_coo(src, dst, coef)
 
     blk_fwd = blk_bwd = None
+    resid_nnz = len(src)
     if backend == "bsr" and n >= blocked_min_nodes:
         blk_fwd = _blocked_pack(src, dst, coef, n, blocked_blk)
         blk_bwd = _blocked_pack(t_src, t_dst, t_coef, n, blocked_blk)
+
+    # At large scale the flat residual COO (6 arrays x nnz) would only
+    # duplicate the blocked layout in HBM; keep a placeholder instead. The
+    # real edge count stays readable via Graph.nnz (resid_nnz aux).
+    if blk_fwd is not None and blk_bwd is not None and resid_nnz > FLAT_RESID_MAX_NNZ:
+        src = dst = np.zeros(0, np.int64)
+        coef = np.zeros(0, np.float32)
+        t_src = t_dst = np.zeros(0, np.int64)
+        t_coef = np.zeros(0, np.float32)
 
     ell_fwd: tuple = ()
     ell_bwd: tuple = ()
@@ -366,6 +381,7 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
 
     return Graph(
         **bsr_kwargs,
+        resid_nnz=resid_nnz,
         src=jnp.asarray(src, jnp.int32),
         dst=jnp.asarray(dst, jnp.int32),
         coef=jnp.asarray(coef),
@@ -382,6 +398,20 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
         symmetric=symmetric,
         backend=backend,
     )
+
+
+def _device_budget_cap() -> int:
+    """Tile-budget ceiling from the actual accelerator memory (~35% of HBM),
+    so huge graphs leave room for features/activations/residual. Falls back to
+    8 GB when memory stats are unavailable (e.g. CPU tests)."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        limit = int(stats.get("bytes_limit", 0))
+        if limit > 0:
+            return max(1 << 30, int(limit * 0.35))
+    except Exception:
+        pass
+    return BSR_DEFAULT_BUDGET_BYTES
 
 
 def _np_dtype(name: str) -> np.dtype:

@@ -97,6 +97,47 @@ def _blocked_apply(h, bc, n):
     return acc.astype(h.dtype)
 
 
+# Above this tile count the batched tile einsum is chunked with a lax.scan so
+# its [K, d, tb] f32 product intermediate stays bounded (~GB-scale graphs OOM
+# otherwise; at 8192 tiles the chunk products are ~0.7 GB at d=82, tb=256);
+# below it the single fused einsum is faster and memory is moot. reddit-1x
+# (~22K tiles) stays on the fused path via the 32K engage threshold.
+_TILE_EINSUM_CHUNK = 8192
+_TILE_EINSUM_ENGAGE = 32768
+
+
+def _tile_contract(tiles, rows, cols, hT, t_blocks, transpose):
+    """outb[T, d, tb] = sum over tiles of tile x gathered-block products."""
+    spec = "kji,dkj->kdi" if transpose else "kij,dkj->kdi"
+    k = int(tiles.shape[0])
+    if k <= _TILE_EINSUM_ENGAGE:
+        hbT = hT[:, cols]
+        prod = jnp.einsum(spec, tiles, hbT, preferred_element_type=jnp.float32)
+        return jax.ops.segment_sum(prod, rows, num_segments=t_blocks,
+                                   indices_are_sorted=not transpose)
+    d, _, tb = hT.shape
+    nch = -(-k // _TILE_EINSUM_CHUNK)
+    pad = nch * _TILE_EINSUM_CHUNK - k
+    tiles_c = jnp.pad(tiles, ((0, pad), (0, 0), (0, 0))).reshape(
+        nch, _TILE_EINSUM_CHUNK, tb, tb)
+    rows_c = jnp.pad(rows, (0, pad), constant_values=t_blocks).reshape(
+        nch, _TILE_EINSUM_CHUNK)  # pad tiles land in segment T, sliced off
+    cols_c = jnp.pad(cols, (0, pad)).reshape(nch, _TILE_EINSUM_CHUNK)
+
+    def step(acc, xs):
+        t, r, c = xs
+        hbT = hT[:, c]
+        prod = jnp.einsum(spec, t, hbT, preferred_element_type=jnp.float32)
+        part = jax.ops.segment_sum(prod, r, num_segments=t_blocks + 1,
+                                   indices_are_sorted=not transpose)
+        return acc + part[:t_blocks], None
+
+    zero = (rows_c[0, 0] * 0).astype(jnp.float32)  # varying-aware zero (cf. _blocked_apply)
+    acc, _ = jax.lax.scan(step, jnp.zeros((t_blocks, d, tb), jnp.float32) + zero,
+                          (tiles_c, rows_c, cols_c))
+    return acc
+
+
 def _bsr_apply(h, graph: Graph, transpose: bool):
     """Block-sparse path: dense MXU tiles over contiguous node blocks + COO residual.
 
@@ -116,11 +157,7 @@ def _bsr_apply(h, graph: Graph, transpose: bool):
     tb, t_blocks = graph.bsr_tb, graph.bsr_nblocks
     rows, cols = (graph.bsr_cols, graph.bsr_rows) if transpose else (graph.bsr_rows, graph.bsr_cols)
     hT = jnp.pad(h, ((0, t_blocks * tb - n), (0, 0))).T.reshape(d, t_blocks, tb)
-    hbT = hT[:, cols]  # [d, K, TB] block-granular slab gather
-    spec = "kji,dkj->kdi" if transpose else "kij,dkj->kdi"
-    prod = jnp.einsum(spec, graph.bsr_tiles, hbT, preferred_element_type=jnp.float32)
-    outb = jax.ops.segment_sum(prod, rows, num_segments=t_blocks,
-                               indices_are_sorted=not transpose)  # [T, d, TB]
+    outb = _tile_contract(graph.bsr_tiles, rows, cols, hT, t_blocks, transpose)  # [T, d, TB]
     dense_part = outb.transpose(1, 0, 2).reshape(d, t_blocks * tb)[:, :n].T.astype(h.dtype)
     blk = graph.blk_bwd if transpose else graph.blk_fwd
     ell = graph.ell_bwd if transpose else graph.ell_fwd
@@ -224,11 +261,7 @@ def _rect_tile_apply(h, rg: RectGraph, transpose: bool):
     rows, cols = ((rg.tile_cols, rg.tile_rows) if transpose
                   else (rg.tile_rows, rg.tile_cols))
     hT = jnp.pad(h, ((0, t_blocks * tb - n), (0, 0))).T.reshape(d, t_blocks, tb)
-    hbT = hT[:, cols]
-    spec = "kji,dkj->kdi" if transpose else "kij,dkj->kdi"
-    prod = jnp.einsum(spec, rg.tiles, hbT, preferred_element_type=jnp.float32)
-    outb = jax.ops.segment_sum(prod, rows, num_segments=t_blocks,
-                               indices_are_sorted=not transpose)
+    outb = _tile_contract(rg.tiles, rows, cols, hT, t_blocks, transpose)
     return outb.transpose(1, 0, 2).reshape(d, t_blocks * tb)[:, :n].T.astype(h.dtype)
 
 

@@ -130,6 +130,30 @@ def test_blocked_residual_matches_oracle(clustered):
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-5)
 
 
+def test_tile_einsum_chunked_matches_unchunked(clustered, monkeypatch):
+    """The K-chunked tile contraction (large-graph memory bound) must be exact
+    vs the single fused einsum, forward and transpose."""
+    import importlib
+
+    gs = importlib.import_module("cuda_gcn_tpu.ops.graphsum")
+
+    ds, h = clustered
+    g = bsr_graph(ds.graph)
+    assert g.bsr_tiles.shape[0] > 4
+
+    def f(hh):  # grad exercises the transpose contraction
+        return jnp.sum(jnp.sin(graphsum(hh, g)))
+
+    ref_f = np.asarray(graphsum(jnp.asarray(h), g))
+    ref_t = np.asarray(jax.grad(f)(jnp.asarray(h)))
+    monkeypatch.setattr(gs, "_TILE_EINSUM_CHUNK", 4)
+    monkeypatch.setattr(gs, "_TILE_EINSUM_ENGAGE", 4)
+    got_f = np.asarray(graphsum(jnp.asarray(h), g))
+    got_t = np.asarray(jax.grad(f)(jnp.asarray(h)))
+    np.testing.assert_allclose(got_f, ref_f, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got_t, ref_t, rtol=1e-5, atol=1e-6)
+
+
 def test_blocked_pack_covers_all_edges(clustered):
     """Every residual edge appears exactly once across the blocks; padding is
     confined to coef==0 lanes with row id n."""
