@@ -402,16 +402,17 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
 
 def _device_budget_cap() -> int:
     """Tile-budget ceiling from the actual accelerator memory (~35% of HBM),
-    so huge graphs leave room for features/activations/residual. Falls back to
-    8 GB when memory stats are unavailable (e.g. CPU tests)."""
+    so huge graphs leave room for features/activations/residual. The tunneled
+    bench TPU reports no memory stats (memory_stats() is None) — fall back to
+    a conservative 5 GB that leaves a ~16 GB chip room for everything else."""
     try:
-        stats = jax.devices()[0].memory_stats()
+        stats = jax.devices()[0].memory_stats() or {}
         limit = int(stats.get("bytes_limit", 0))
         if limit > 0:
             return max(1 << 30, int(limit * 0.35))
     except Exception:
         pass
-    return BSR_DEFAULT_BUDGET_BYTES
+    return 5 << 30
 
 
 def _np_dtype(name: str) -> np.dtype:

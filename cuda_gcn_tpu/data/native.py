@@ -130,3 +130,65 @@ def load_dataset(paths: dict):
         input_dim=int(input_dim.value),
         output_dim=int(output_dim.value),
     )
+
+
+# --- native label propagation (csrc/gcn_lpa.cpp) ---------------------------
+
+_LPA_LIB_PATH = os.path.join(_CSRC, "libgcn_lpa.so")
+_lpa_lib: ctypes.CDLL | None = None
+_lpa_tried = False
+
+
+def _load_lpa() -> ctypes.CDLL | None:
+    global _lpa_lib, _lpa_tried
+    if _lpa_lib is not None or _lpa_tried:
+        return _lpa_lib
+    _lpa_tried = True
+    src = os.path.join(_CSRC, "gcn_lpa.cpp")
+    if not os.path.exists(_LPA_LIB_PATH):
+        if not os.path.exists(src):
+            return None
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-fPIC", "-pthread", "-shared",
+                 "-o", _LPA_LIB_PATH, src],
+                check=True, capture_output=True, timeout=120)
+        except (OSError, subprocess.SubprocessError):
+            return None
+    try:
+        lib = ctypes.CDLL(_LPA_LIB_PATH)
+    except OSError:
+        return None
+    lib.gcn_lpa.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_int64)]
+    lib.gcn_lpa.restype = ctypes.c_int64
+    _lpa_lib = lib
+    return lib
+
+
+def lpa_available() -> bool:
+    return _load_lpa() is not None
+
+
+def label_propagation(indptr: np.ndarray, indices: np.ndarray, rounds: int,
+                      seed_labels: np.ndarray | None = None) -> np.ndarray:
+    """Native synchronous LPA; exact same semantics as the numpy
+    implementation in data/reorder.py (modal neighbor label, ties -> smallest,
+    early fixpoint exit). Raises RuntimeError when the library is unavailable."""
+    lib = _load_lpa()
+    if lib is None:
+        raise RuntimeError("native LPA unavailable")
+    n = len(indptr) - 1
+    indptr64 = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices32 = np.ascontiguousarray(indices, dtype=np.int32)
+    labels = (np.arange(n, dtype=np.int64) if seed_labels is None
+              else np.ascontiguousarray(seed_labels, dtype=np.int64).copy())
+    rc = lib.gcn_lpa(
+        indptr64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(n), ctypes.c_int32(rounds),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc < 0:
+        raise RuntimeError(f"native LPA failed (rc={rc})")
+    return labels

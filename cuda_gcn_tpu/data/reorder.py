@@ -28,9 +28,19 @@ from cuda_gcn_tpu.data.parser import CSR, GCNDataset
 
 
 def label_propagation(indptr: np.ndarray, indices: np.ndarray, rounds: int = 4,
-                      seed_labels: np.ndarray | None = None) -> np.ndarray:
+                      seed_labels: np.ndarray | None = None,
+                      prefer_native: bool = True) -> np.ndarray:
     """Synchronous LPA: per round, each node takes the modal label among its
-    neighbors (ties -> smallest label; isolated nodes keep their label)."""
+    neighbors (ties -> smallest label; isolated nodes keep their label).
+
+    Prefers the multithreaded C++ implementation (csrc/gcn_lpa.cpp, ~20x at
+    reddit scale) when the toolchain is available; this numpy version is the
+    semantics oracle and the fallback (tests assert they agree)."""
+    if prefer_native:
+        from cuda_gcn_tpu.data import native
+
+        if native.lpa_available():
+            return native.label_propagation(indptr, indices, rounds, seed_labels)
     n = len(indptr) - 1
     labels = seed_labels.copy() if seed_labels is not None else np.arange(n, dtype=np.int64)
     src = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))

@@ -47,3 +47,25 @@ def test_native_negative_labels(tmp_path):
     nat = load_dataset("neg", data_dir=str(tmp_path), use_native=True)
     py = load_dataset("neg", data_dir=str(tmp_path), use_native=False)
     assert list(nat.label) == list(py.label) == [-1, 0]
+
+
+def test_native_lpa_matches_numpy(tiny_dataset):
+    """csrc/gcn_lpa.cpp must reproduce the numpy LPA exactly (same modal/tie
+    semantics, same early exit), with and without seed labels."""
+    from cuda_gcn_tpu.data import native
+    from cuda_gcn_tpu.data.reorder import label_propagation
+
+    if not native.lpa_available():
+        pytest.skip("no native toolchain")
+    ds = tiny_dataset
+    for rounds in (1, 4, 16):
+        ref = label_propagation(ds.graph.indptr, ds.graph.indices, rounds=rounds,
+                                prefer_native=False)
+        got = native.label_propagation(ds.graph.indptr, ds.graph.indices, rounds)
+        np.testing.assert_array_equal(got, ref)
+    seed = np.arange(ds.num_nodes, dtype=np.int64) % 7
+    ref = label_propagation(ds.graph.indptr, ds.graph.indices, rounds=4,
+                            seed_labels=seed, prefer_native=False)
+    got = native.label_propagation(ds.graph.indptr, ds.graph.indices, 4,
+                                   seed_labels=seed)
+    np.testing.assert_array_equal(got, ref)
