@@ -166,30 +166,70 @@ TARGET_PROGRAM_SECONDS = 10.0
 # Rough per-edge-per-pass cost on the bench chip (docs/PERF.md): between the
 # 12.3 ns gather floor and the tile-covered fast path.
 _EST_SECONDS_PER_EDGE_PASS = 5e-9
+# Beyond this MEASURED chunk runtime, shrink subsequent chunks: the tunneled
+# worker's execution watchdog kills programs around ~60 s, and the static
+# estimate has been observed 10x off at 4x-reddit scale (932K nodes / 87M nnz,
+# where HBM pressure changes the cost regime entirely — docs/PERF.md).
+MAX_PROGRAM_SECONDS = 40.0
+# Above this estimated per-epoch cost the static model is untrusted: probe the
+# true per-epoch time with 1-epoch programs before committing to a chunk size.
+# Reddit (21M nnz, est 0.42 s/epoch, measured 0.3 s) stays on the static path
+# — one compile, no probe dispatches — so the headline bench is unaffected.
+_PROBE_ABOVE_EST_SECONDS = 1.0
+
+
+def _balance_chunks(epochs: int, raw: int) -> int:
+    # balance: equal-size chunks avoid compiling a second (tail-size) program
+    raw = max(1, min(epochs, raw))
+    n_chunks = -(-epochs // raw)
+    return -(-epochs // n_chunks)
+
+
+def _estimate_epoch_seconds(nnz: int) -> float:
+    return max(nnz * 4 * _EST_SECONDS_PER_EDGE_PASS, 1e-6)
 
 
 def pick_epoch_chunk(nnz: int, epochs: int) -> int:
-    per_epoch = max(nnz * 4 * _EST_SECONDS_PER_EDGE_PASS, 1e-6)
-    raw = max(1, min(epochs, int(TARGET_PROGRAM_SECONDS / per_epoch)))
-    # balance: equal-size chunks avoid compiling a second (tail-size) program
-    n_chunks = -(-epochs // raw)
-    return -(-epochs // n_chunks)
+    per_epoch = _estimate_epoch_seconds(nnz)
+    return _balance_chunks(epochs, int(TARGET_PROGRAM_SECONDS / per_epoch))
 
 
 def run_epochs_chunked(state: TrainState, graph: Graph, x, truth_train, truth_val, *,
                        epochs: int, chunk: int | None = None, **step_kwargs):
     """run_epochs in fixed-size chunks (one compile when chunk divides epochs),
-    materializing metrics between chunks. Returns (state, [4 x np.ndarray])."""
+    materializing metrics between chunks. Returns (state, [4 x np.ndarray]).
+
+    Chunks are sized from the static per-edge cost model at reddit scale and
+    below; for larger graphs (estimate > ~1 s/epoch) the true per-epoch time is
+    probed with two 1-epoch programs (the first pays compile) and all remaining
+    chunks are sized from the measurement. Any chunk measured over
+    MAX_PROGRAM_SECONDS shrinks the following ones — a single oversized device
+    program can trip the tunneled worker's execution watchdog.
+    """
+    nnz = graph.total_nnz or graph.nnz
+    probe = chunk is None and _estimate_epoch_seconds(nnz) > _PROBE_ABOVE_EST_SECONDS
     if chunk is None:
-        chunk = pick_epoch_chunk(graph.total_nnz or graph.nnz, epochs)
+        chunk = pick_epoch_chunk(nnz, epochs)
     parts: list[list[np.ndarray]] = []
-    done = 0
+    done = n_calls = 0
     while done < epochs:
-        k = min(chunk, epochs - done)
+        # probe calls: two 1-epoch programs (first includes compile; the second
+        # is cached and measures pure execution)
+        k = 1 if (probe and n_calls < 2) else min(chunk, epochs - done)
+        t0 = time.perf_counter()
         state, m = run_epochs(state, graph, x, truth_train, truth_val,
                               epochs=k, **step_kwargs)
         parts.append([np.asarray(v) for v in m])  # device sync per chunk
+        dt = time.perf_counter() - t0
         done += k
+        n_calls += 1
+        if probe and n_calls == 2:
+            chunk = _balance_chunks(epochs - done,
+                                    int(TARGET_PROGRAM_SECONDS / max(dt, 1e-6)))
+        elif n_calls > 1 and dt > MAX_PROGRAM_SECONDS and k > 1:
+            # n_calls > 1: the first call's time includes compilation, which
+            # must not trigger a shrink (and a recompile) on the steady path
+            chunk = max(1, int(MAX_PROGRAM_SECONDS / (dt / k)))
     return state, [np.concatenate([p[i] for p in parts]) for i in range(4)]
 
 

@@ -172,3 +172,25 @@ def test_pick_epoch_chunk():
     assert 1 <= c < 100 and 100 % -(-100 // c) in (0, 100 % c)
     n_chunks = -(-100 // c)
     assert c == -(-100 // n_chunks)
+
+
+def test_chunked_probe_path_matches_unchunked(tiny_dataset, monkeypatch):
+    """The adaptive probe path (two 1-epoch programs, then measured-size chunks)
+    must be metric- and param-exact vs the single fused program."""
+    cfg = GCNConfig(epochs=6, seed=0)
+    cfg, graph, x, truths = train_mod.prepare(cfg, tiny_dataset)
+    kw = dict(dropout_rate=cfg.dropout, weight_decay=cfg.weight_decay,
+              lr=cfg.learning_rate)
+    s1 = train_mod.create_state(cfg)
+    s1, m1 = train_mod.run_epochs(s1, graph, x, truths[1], truths[2], epochs=6, **kw)
+    # force the probe path regardless of graph size
+    monkeypatch.setattr(train_mod, "_PROBE_ABOVE_EST_SECONDS", 0.0)
+    s2 = train_mod.create_state(cfg)
+    s2, m2 = train_mod.run_epochs_chunked(s2, graph, x, truths[1], truths[2],
+                                          epochs=6, **kw)
+    for a, b in zip(m1, m2):
+        assert len(np.asarray(b)) == 6
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    for k in s1.params:
+        np.testing.assert_allclose(np.asarray(s1.params[k]),
+                                   np.asarray(s2.params[k]), rtol=1e-5, atol=1e-6)
