@@ -184,3 +184,27 @@ def test_sharded_fused_epochs_match_stepwise(tiny_dataset, mesh):
     for k in state.params:
         np.testing.assert_allclose(np.asarray(state_f.params[k]),
                                    np.asarray(state.params[k]), rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_chunked_epochs_match_fused(tiny_dataset, mesh, monkeypatch):
+    """run_sharded_epochs_chunked (incl. the adaptive probe path) must be
+    metric- and param-exact vs one fused program."""
+    cfg = GCNConfig(epochs=5, seed=0)
+    cfg, inputs, truths = sharded.prepare_sharded(cfg, tiny_dataset, mesh)
+
+    run = sharded.make_sharded_run_epochs(mesh, cfg)
+    state = train_mod.create_state(cfg)
+    state_f, m1 = run(state, inputs, truths[1], truths[2], epochs=5)
+
+    # force the probe path regardless of graph size
+    monkeypatch.setattr(train_mod, "_PROBE_ABOVE_EST_SECONDS", 0.0)
+    state = train_mod.create_state(cfg)
+    state_c, m2 = sharded.run_sharded_epochs_chunked(
+        mesh, cfg, state, inputs, truths[1], truths[2], epochs=5, run=run)
+
+    for a, b in zip(m1, m2):
+        assert len(np.asarray(b)) == 5
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    for k in state_c.params:
+        np.testing.assert_allclose(np.asarray(state_f.params[k]),
+                                   np.asarray(state_c.params[k]), rtol=1e-5, atol=1e-6)
