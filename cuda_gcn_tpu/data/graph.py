@@ -317,14 +317,19 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
 
     # symmetry check (pattern): transpose edge set equals forward edge set
     fwd_key = src * n + dst
-    symmetric = bool(np.array_equal(np.sort(fwd_key), np.sort(dst * n + src)))
+    fwd_sorted = np.sort(fwd_key)
+    symmetric = bool(np.array_equal(fwd_sorted, np.sort(dst * n + src)))
+    # a dataset CAN list the same neighbor twice (the reference's parser keeps
+    # duplicates and they contribute twice); unique edges enable the fast
+    # scatter-assign tile build below
+    unique_edges = not bool(np.any(fwd_sorted[1:] == fwd_sorted[:-1]))
 
     bsr = None
     if backend == "bsr":
         bsr_budget_bytes = min(bsr_budget_bytes, _device_budget_cap())
         bsr, keep_residual = _select_bsr_tiles(
             src, dst, coef, n, bsr_tile, bsr_min_edges, bsr_budget_bytes,
-            _np_dtype(bsr_dtype))
+            _np_dtype(bsr_dtype), unique_edges=unique_edges)
         src, dst, coef = src[keep_residual], dst[keep_residual], coef[keep_residual]
 
     t_src, t_dst, t_coef = _transpose_coo(src, dst, coef)
@@ -425,7 +430,7 @@ def _np_dtype(name: str) -> np.dtype:
 
 
 def _select_bsr_tiles(src, dst, coef, n, tb, min_edges, budget_bytes,
-                      dtype=None):
+                      dtype=None, unique_edges=False):
     """Pick the densest [tb x tb] tiles of Â and materialize them as dense blocks.
 
     The 'bsr' backend's cost model (measured on the target chip, docs/PERF.md):
@@ -463,11 +468,19 @@ def _select_bsr_tiles(src, dst, coef, n, tb, min_edges, budget_bytes,
     edge_rank = rank_of[tile_id]
     in_tile = edge_rank >= 0
 
-    tiles = np.zeros((k, tb, tb), dtype=np.float32)
     flat = (edge_rank[in_tile] * tb * tb
             + (src[in_tile] % tb) * tb + (dst[in_tile] % tb))
-    np.add.at(tiles.reshape(-1), flat, coef[in_tile])
-    tiles = tiles.astype(dtype)
+    if unique_edges:
+        # no accumulation needed: scatter-assign straight into the target
+        # dtype. The generic path below costs minutes at reddit scale and
+        # above (np.add.at runs ~2 µs/edge, and ml_dtypes' f32->bf16 astype
+        # of multi-GB tile arrays is slower than the whole rest of the build).
+        tiles = np.zeros((k, tb, tb), dtype=dtype)
+        tiles.reshape(-1)[flat] = coef[in_tile].astype(dtype)
+    else:
+        tiles = np.zeros((k, tb, tb), dtype=np.float32)
+        np.add.at(tiles.reshape(-1), flat, coef[in_tile])
+        tiles = tiles.astype(dtype)
 
     rows = (candidates // t_blocks).astype(np.int32)
     cols = (candidates % t_blocks).astype(np.int32)

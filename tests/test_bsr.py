@@ -235,3 +235,19 @@ def test_training_with_bsr_matches_segment(tiny_dataset):
     assert r_bsr.history[-1]["train_loss"] == pytest.approx(
         r_seg.history[-1]["train_loss"], rel=1e-4)
     assert r_bsr.test_acc == pytest.approx(r_seg.test_acc, abs=0.02)
+
+
+def test_bsr_duplicate_edges_accumulate():
+    """A dataset can list the same neighbor twice; duplicate edges must
+    contribute twice to the tile (the generic np.add.at path), matching the
+    reference parser's keep-duplicates semantics."""
+    # 4-node graph, all edges in one 32x32 tile; edge (0,1) duplicated
+    indptr = np.array([0, 3, 5, 7, 9], dtype=np.int64)
+    indices = np.array([0, 1, 1, 1, 2, 2, 3, 3, 0], dtype=np.int64)
+    csr = CSR(indptr, indices)
+    g = bsr_graph(csr)
+    assert int(g.bsr_tiles.shape[0]) == 1 and g.nnz == 0  # fully tiled
+    h = np.arange(4 * 3, dtype=np.float32).reshape(4, 3) + 1
+    expected = oracle.graphsum_forward(indptr, indices, h.astype(np.float64))
+    got = np.asarray(graphsum(jnp.asarray(h), g))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
