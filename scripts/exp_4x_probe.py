@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--dataset", default="reddit4x")
     ap.add_argument("--skip-trainstep", action="store_true")
+    ap.add_argument("--no-blocked", action="store_true",
+                    help="disable the column-blocked residual (flat sorted-segment path)")
     args = ap.parse_args()
 
     import jax
@@ -45,8 +47,10 @@ def main():
     print(f"{name}: n={n} nnz={ds.graph.nnz} device={jax.devices()[0]}", flush=True)
 
     t0 = time.perf_counter()
-    g = build_graph(ds.graph, backend="bsr")
-    print(f"build_graph(bsr): {time.perf_counter() - t0:.1f}s", flush=True)
+    bkw = dict(blocked_min_nodes=1 << 62) if args.no_blocked else {}
+    g = build_graph(ds.graph, backend="bsr", **bkw)
+    print(f"build_graph(bsr){' flat-resid' if args.no_blocked else ''}: "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
     k = int(g.bsr_tiles.shape[0])
     tile_gb = k * g.bsr_tb * g.bsr_tb * jnp.dtype(g.bsr_tiles.dtype).itemsize / 1e9
     print(f"tiles={k} tb={g.bsr_tb} ({tile_gb:.2f} GB {g.bsr_tiles.dtype}) "
