@@ -290,8 +290,14 @@ def _blocked_pack(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray, n: int,
 # (dense MXU tiles + COO residual) above.
 DENSE_BACKEND_MAX_NODES = 8192
 BSR_DEFAULT_TILE = 256
-BSR_DEFAULT_BUDGET_BYTES = 8 << 30
+# None => derive the tile budget from the chip's HBM minus the graph's other
+# device-resident needs (auto_tile_budget); an int pins it explicitly.
+BSR_DEFAULT_BUDGET_BYTES: int | None = None
 BSR_DEFAULT_DTYPE = "bfloat16"
+# Fallback HBM size when the device reports no memory stats: the tunneled
+# bench TPU (v5 lite) proved 15.75 GB usable in an OOM dump (docs/PERF.md
+# "Beyond reddit"); stay slightly under.
+ASSUMED_TPU_HBM_BYTES = int(15.5 * (1 << 30))
 # Break-even constant from chip calibration (docs/PERF.md): a tile is worth
 # densifying when streaming its bytes costs less than the ~12.3 ns/edge HBM
 # gathers it replaces; at ~250 GB/s that is bytes/3075 — use bytes/2048 to
@@ -301,11 +307,16 @@ BSR_BREAK_EVEN_BYTES_PER_EDGE = 2048
 
 def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
                 bsr_tile: int = BSR_DEFAULT_TILE, bsr_min_edges: int | None = None,
-                bsr_budget_bytes: int = BSR_DEFAULT_BUDGET_BYTES,
+                bsr_budget_bytes: int | None = BSR_DEFAULT_BUDGET_BYTES,
                 bsr_dtype: str = BSR_DEFAULT_DTYPE,
                 blocked_blk: int = BLOCKED_RESID_TARGET_BLK,
-                blocked_min_nodes: int = BLOCKED_RESID_MIN_NODES) -> Graph:
-    """Construct the device Graph from a parsed adjacency CSR (self-loops included)."""
+                blocked_min_nodes: int = BLOCKED_RESID_MIN_NODES,
+                aux_bytes: int = 0) -> Graph:
+    """Construct the device Graph from a parsed adjacency CSR (self-loops included).
+
+    ``bsr_budget_bytes=None`` derives the tile budget from device HBM minus the
+    run's other residents (auto_tile_budget); ``aux_bytes`` lets the caller
+    declare residents this module can't see (e.g. the dense feature matrix)."""
     n = csr.nrows
     if backend == "auto":
         backend = "dense" if n <= DENSE_BACKEND_MAX_NODES else "bsr"
@@ -326,7 +337,22 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
 
     bsr = None
     if backend == "bsr":
-        bsr_budget_bytes = min(bsr_budget_bytes, _device_budget_cap())
+        if bsr_budget_bytes is None:
+            # small graphs can't exceed the 1 GB auto-budget floor even if
+            # every candidate tile materializes — skip the device query so
+            # test/CPU builds stay deterministic and backend-init-free
+            item = _np_dtype(bsr_dtype).itemsize
+            min_e = bsr_min_edges or max(
+                bsr_tile * bsr_tile * item // BSR_BREAK_EVEN_BYTES_PER_EDGE, 8)
+            tiles_ub_bytes = (len(src) // min_e + 1) * bsr_tile * bsr_tile * item
+            if tiles_ub_bytes <= (1 << 30):
+                bsr_budget_bytes = 1 << 30
+            else:
+                bsr_budget_bytes = auto_tile_budget(n, len(src), aux_bytes)
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "auto tile budget: %.2f GB", bsr_budget_bytes / (1 << 30))
         bsr, keep_residual = _select_bsr_tiles(
             src, dst, coef, n, bsr_tile, bsr_min_edges, bsr_budget_bytes,
             _np_dtype(bsr_dtype), unique_edges=unique_edges)
@@ -405,19 +431,45 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
     )
 
 
-def _device_budget_cap() -> int:
-    """Tile-budget ceiling from the actual accelerator memory (~35% of HBM),
-    so huge graphs leave room for features/activations/residual. The tunneled
-    bench TPU reports no memory stats (memory_stats() is None) — fall back to
-    a conservative 5 GB that leaves a ~16 GB chip room for everything else."""
+def device_hbm_bytes() -> int:
+    """Usable accelerator memory. Resolution order: CUDA_GCN_TPU_HBM_BYTES env
+    var (deterministic override for tests/CI), device memory_stats, then the
+    measured tunneled-chip constant (the bench TPU reports no memory stats)."""
+    import os
+
+    env = os.environ.get("CUDA_GCN_TPU_HBM_BYTES")
+    if env:
+        return int(env)
     try:
         stats = jax.devices()[0].memory_stats() or {}
         limit = int(stats.get("bytes_limit", 0))
         if limit > 0:
-            return max(1 << 30, int(limit * 0.35))
+            return limit
     except Exception:
         pass
-    return 5 << 30
+    return ASSUMED_TPU_HBM_BYTES
+
+
+def auto_tile_budget(n: int, total_nnz: int, aux_bytes: int = 0,
+                     hbm_bytes: int | None = None) -> int:
+    """Tile budget = HBM minus everything else the training run keeps resident.
+
+    Replaces the old flat 35%-of-HBM / 5 GB-fallback cap, which left half the
+    chip idle at 4x-reddit scale (tile coverage 16%, docs/PERF.md). Reserves:
+
+    * ``aux_bytes`` — caller-known residents (dense features, lane-padded);
+    * activations — ~4 live [N, <=128-lane] f32 arrays during the fused
+      train+eval step (pair activations, scan carry, segment partials);
+    * residual COO — blocked layout, both directions, counted at FULL nnz
+      (upper bound: tiles only shrink it);
+    * 1 GB headroom for XLA temporaries.
+    """
+    hbm = hbm_bytes if hbm_bytes is not None else device_hbm_bytes()
+    act_bytes = 4 * n * 128 * 4          # lane-padded f32 rows
+    resid_bytes = 2 * 12 * total_nnz     # (rows+cols) int32 + coef f32, fwd+bwd
+    headroom = 1 << 30
+    budget = hbm - aux_bytes - act_bytes - resid_bytes - headroom
+    return max(budget, 1 << 30)
 
 
 def _np_dtype(name: str) -> np.dtype:
@@ -490,5 +542,10 @@ def _select_bsr_tiles(src, dst, coef, n, tb, min_edges, budget_bytes,
 def dense_adjacency(graph: Graph) -> jnp.ndarray:
     """Materialize Â as a dense [N, N] matrix (small graphs / oracle / MXU backend)."""
     n = graph.n_nodes
+    if graph.resid_nnz > 0 and int(graph.src.shape[0]) == 0:
+        raise ValueError(
+            "Graph's flat residual COO was dropped (resid_nnz > "
+            "FLAT_RESID_MAX_NNZ); dense_adjacency would silently lose "
+            f"{graph.resid_nnz} edges")
     a = jnp.zeros((n, n), jnp.float32)
     return a.at[graph.src, graph.dst].add(graph.coef)

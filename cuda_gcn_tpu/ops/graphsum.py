@@ -172,17 +172,38 @@ def _bsr_apply(h, graph: Graph, transpose: bool):
     return dense_part + resid
 
 
+def _check_flat_coo(graph: Graph):
+    """Large-graph Graphs drop the flat residual COO once the blocked layout
+    exists (data/graph.py FLAT_RESID_MAX_NNZ); any backend other than the
+    blocked 'bsr' path would then silently aggregate ZERO edges. Fail loudly."""
+    if graph.resid_nnz > 0 and int(graph.src.shape[0]) == 0:
+        raise ValueError(
+            f"Graph carries {graph.resid_nnz} residual edges but its flat COO "
+            f"was dropped (resid_nnz > FLAT_RESID_MAX_NNZ); backend "
+            f"'{graph.backend}' needs the flat layout — rebuild the graph with "
+            f"build_graph(..., backend='{graph.backend}')")
+
+
+def _pallas_or_ell(h, buckets, graph: Graph):
+    """Pallas ELL kernel when the activation table fits VMEM, else the XLA ELL
+    path (same packing) — the fallback the kernel's docstring promises."""
+    from cuda_gcn_tpu.ops.pallas_spmm import ell_spmm, fits_vmem
+
+    if fits_vmem(graph.n_nodes, h.shape[1], h.dtype.itemsize):
+        return ell_spmm(h, buckets, graph.n_nodes)
+    return _ell_apply(h, buckets, graph.n_nodes)
+
+
 def _forward(h, graph: Graph):
     if graph.backend == "bsr":
         return _bsr_apply(h, graph, transpose=False)
+    _check_flat_coo(graph)
     if graph.backend == "dense":
         return jnp.dot(graph.adj.astype(h.dtype), h, preferred_element_type=h.dtype)
     if graph.backend == "ell":
         return _ell_apply(h, graph.ell_fwd, graph.n_nodes)
     if graph.backend == "pallas":
-        from cuda_gcn_tpu.ops.pallas_spmm import ell_spmm
-
-        return ell_spmm(h, graph.ell_fwd, graph.n_nodes)
+        return _pallas_or_ell(h, graph.ell_fwd, graph)
     return _segment_apply(h, graph.src, graph.dst, graph.coef, graph.n_nodes)
 
 
@@ -190,14 +211,13 @@ def _transpose_forward(g, graph: Graph):
     """Âᵀ·G over the precomputed transpose layout."""
     if graph.backend == "bsr":
         return _bsr_apply(g, graph, transpose=True)
+    _check_flat_coo(graph)
     if graph.backend == "dense":
         return jnp.dot(graph.adj.T.astype(g.dtype), g, preferred_element_type=g.dtype)
     if graph.backend == "ell":
         return _ell_apply(g, graph.ell_bwd, graph.n_nodes)
     if graph.backend == "pallas":
-        from cuda_gcn_tpu.ops.pallas_spmm import ell_spmm
-
-        return ell_spmm(g, graph.ell_bwd, graph.n_nodes)
+        return _pallas_or_ell(g, graph.ell_bwd, graph)
     return _segment_apply(g, graph.t_src, graph.t_dst, graph.t_coef, graph.n_nodes)
 
 

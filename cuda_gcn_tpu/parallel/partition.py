@@ -145,7 +145,7 @@ def _stack_blocked(fwd_resid, bwd_resid, block: int, blocked_blk: int) -> dict:
 def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
                     bsr_tile: int = BSR_DEFAULT_TILE,
                     bsr_min_edges: int | None = None,
-                    bsr_budget_bytes: int = BSR_DEFAULT_BUDGET_BYTES,
+                    bsr_budget_bytes: int | None = BSR_DEFAULT_BUDGET_BYTES,
                     bsr_dtype: str = BSR_DEFAULT_DTYPE,
                     blocked_blk: int = BLOCKED_RESID_TARGET_BLK,
                     blocked_min_nodes: int = BLOCKED_RESID_MIN_NODES) -> PartitionedGraph:
@@ -240,7 +240,18 @@ def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
     tile_kwargs: dict = {}
     interior_resid = None
     if interior_tiles:
+        from cuda_gcn_tpu.data.graph import auto_tile_budget
+
         dtype = _np_dtype(bsr_dtype)
+        if bsr_budget_bytes is None:
+            min_e = bsr_min_edges or max(
+                bsr_tile * bsr_tile * dtype.itemsize // 2048, 8)
+            tiles_ub = (len(src) // n_parts // min_e + 1) * bsr_tile * bsr_tile * dtype.itemsize
+            if tiles_ub <= (1 << 30):  # small graphs: skip the device query
+                bsr_budget_bytes = n_parts << 30
+            else:
+                # model ONE device holding ONE part (its own HBM)
+                bsr_budget_bytes = n_parts * auto_tile_budget(block, len(src) // n_parts)
         per_budget = max(bsr_budget_bytes // n_parts, bsr_tile * bsr_tile * dtype.itemsize)
         tiles_pp, interior_resid = [], []
         i_nblocks = -(-block // bsr_tile)
@@ -255,7 +266,11 @@ def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
             int_counts[p] = len(interior_resid[-1][0])
         kmax = max(max(len(t[1]) for t in tiles_pp), 1)
         i_tiles = np.zeros((n_parts, kmax, bsr_tile, bsr_tile), dtype=dtype)
-        i_tile_rows = np.zeros((n_parts, kmax), dtype=np.int32)
+        # Pad tile-row ids with the LAST block id, not 0: real rows are sorted
+        # ascending and _tile_contract declares indices_are_sorted=True on the
+        # forward segment_sum — a 0 pad after sorted rows would break that
+        # invariant (pad tiles are all-zero, so they add 0 to the last segment).
+        i_tile_rows = np.full((n_parts, kmax), i_nblocks - 1, dtype=np.int32)
         i_tile_cols = np.zeros((n_parts, kmax), dtype=np.int32)
         for p, (tiles, trows, tcols) in enumerate(tiles_pp):
             kk = len(trows)

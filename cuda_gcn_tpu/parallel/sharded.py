@@ -320,39 +320,24 @@ def run_sharded_epochs_chunked(mesh: Mesh, cfg: GCNConfig, state, inputs,
                                chunk: int | None = None, run=None):
     """make_sharded_run_epochs in fixed-size chunks, materializing metrics
     between chunks (the sharded analog of train.run_epochs_chunked — bounds
-    single-device-program runtime, which matters on tunneled backends). Large
-    graphs probe the true per-epoch time before committing to a chunk size,
-    and a chunk measured over MAX_PROGRAM_SECONDS shrinks the following ones
-    (same adaptive policy as the single-chip runner)."""
-    import time
-
-    import numpy as np
-
+    single-device-program runtime, which matters on tunneled backends).
+    Chunk sizing/adaptation: train.run_chunked_loop (shared policy)."""
     from cuda_gcn_tpu import train as train_mod
 
-    probe = False
-    if chunk is None:
-        nnz = int(inputs.interior.coef.size + inputs.boundary.coef.size)
-        probe = train_mod._estimate_epoch_seconds(nnz) > train_mod._PROBE_ABOVE_EST_SECONDS
-        chunk = train_mod.pick_epoch_chunk(nnz, epochs)
+    # per-DEVICE work drives program runtime: one part's padded edge capacity
+    # (coef.shape[-1] == eimax/ebmax), not the P-stacked total
+    nnz = int(inputs.interior.coef.shape[-1] + inputs.boundary.coef.shape[-1])
     if run is None:
         run = make_sharded_run_epochs(mesh, cfg)  # reuse across calls to avoid re-jit
-    parts: list[list[np.ndarray]] = []
-    done = n_calls = 0
-    while done < epochs:
-        k = 1 if (probe and n_calls < 2) else min(chunk, epochs - done)
-        t0 = time.perf_counter()
-        state, m = run(state, inputs, truth_train, truth_val, epochs=k)
-        parts.append([np.asarray(v) for v in m])
-        dt = time.perf_counter() - t0
-        done += k
-        n_calls += 1
-        if probe and n_calls == 2:
-            chunk = train_mod._balance_chunks(
-                epochs - done, int(train_mod.TARGET_PROGRAM_SECONDS / max(dt, 1e-6)))
-        elif n_calls > 1 and dt > train_mod.MAX_PROGRAM_SECONDS and k > 1:
-            chunk = max(1, int(train_mod.MAX_PROGRAM_SECONDS / (dt / k)))
-    return state, [np.concatenate([p[i] for p in parts]) for i in range(4)]
+    holder = {"state": state}
+
+    def run_one(k):
+        holder["state"], m = run(holder["state"], inputs, truth_train, truth_val,
+                                 epochs=k)
+        return m
+
+    metrics = train_mod.run_chunked_loop(run_one, epochs, chunk, nnz)
+    return holder["state"], metrics
 
 
 def make_sharded_eval_step(mesh: Mesh, cfg: GCNConfig):

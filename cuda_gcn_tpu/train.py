@@ -194,19 +194,18 @@ def pick_epoch_chunk(nnz: int, epochs: int) -> int:
     return _balance_chunks(epochs, int(TARGET_PROGRAM_SECONDS / per_epoch))
 
 
-def run_epochs_chunked(state: TrainState, graph: Graph, x, truth_train, truth_val, *,
-                       epochs: int, chunk: int | None = None, **step_kwargs):
-    """run_epochs in fixed-size chunks (one compile when chunk divides epochs),
-    materializing metrics between chunks. Returns (state, [4 x np.ndarray]).
+def run_chunked_loop(run_one, epochs: int, chunk: int | None, nnz: int):
+    """The shared chunk-sizing/adaptation policy for fused epoch runners.
 
-    Chunks are sized from the static per-edge cost model at reddit scale and
-    below; for larger graphs (estimate > ~1 s/epoch) the true per-epoch time is
-    probed with two 1-epoch programs (the first pays compile) and all remaining
-    chunks are sized from the measurement. Any chunk measured over
-    MAX_PROGRAM_SECONDS shrinks the following ones — a single oversized device
-    program can trip the tunneled worker's execution watchdog.
-    """
-    nnz = graph.total_nnz or graph.nnz
+    ``run_one(k)`` executes k fused epochs (mutating its own state) and returns
+    the 4-tuple of per-epoch metric arrays. Chunks are sized from the static
+    per-edge cost model at reddit scale and below; for larger graphs (estimate
+    > ~1 s/epoch) the true per-epoch time is probed with two 1-epoch programs
+    (the first pays compile) and all remaining chunks are sized from the
+    measurement. Any chunk measured over MAX_PROGRAM_SECONDS shrinks the
+    following ones — a single oversized device program can trip the tunneled
+    worker's execution watchdog. Used by both the single-chip and the sharded
+    runner so the policy exists exactly once."""
     probe = chunk is None and _estimate_epoch_seconds(nnz) > _PROBE_ABOVE_EST_SECONDS
     if chunk is None:
         chunk = pick_epoch_chunk(nnz, epochs)
@@ -217,8 +216,7 @@ def run_epochs_chunked(state: TrainState, graph: Graph, x, truth_train, truth_va
         # is cached and measures pure execution)
         k = 1 if (probe and n_calls < 2) else min(chunk, epochs - done)
         t0 = time.perf_counter()
-        state, m = run_epochs(state, graph, x, truth_train, truth_val,
-                              epochs=k, **step_kwargs)
+        m = run_one(k)
         parts.append([np.asarray(v) for v in m])  # device sync per chunk
         dt = time.perf_counter() - t0
         done += k
@@ -230,7 +228,23 @@ def run_epochs_chunked(state: TrainState, graph: Graph, x, truth_train, truth_va
             # n_calls > 1: the first call's time includes compilation, which
             # must not trigger a shrink (and a recompile) on the steady path
             chunk = max(1, int(MAX_PROGRAM_SECONDS / (dt / k)))
-    return state, [np.concatenate([p[i] for p in parts]) for i in range(4)]
+    return [np.concatenate([p[i] for p in parts]) for i in range(4)]
+
+
+def run_epochs_chunked(state: TrainState, graph: Graph, x, truth_train, truth_val, *,
+                       epochs: int, chunk: int | None = None, **step_kwargs):
+    """run_epochs in fixed-size chunks (one compile when chunk divides epochs),
+    materializing metrics between chunks. Returns (state, [4 x np.ndarray]).
+    Chunk sizing/adaptation: run_chunked_loop."""
+    holder = {"state": state}
+
+    def run_one(k):
+        holder["state"], m = run_epochs(holder["state"], graph, x, truth_train,
+                                        truth_val, epochs=k, **step_kwargs)
+        return m
+
+    metrics = run_chunked_loop(run_one, epochs, chunk, graph.total_nnz or graph.nnz)
+    return holder["state"], metrics
 
 
 @dataclasses.dataclass
@@ -262,7 +276,10 @@ def prepare(cfg: GCNConfig, dataset: GCNDataset):
 
         perm = locality_permutation(dataset.graph)
         dataset = reorder_dataset(dataset, perm).dataset
-    graph = build_graph(dataset.graph, backend=backend)
+    # lane-padded dense feature bytes: declared to the tile-budget model so
+    # huge graphs leave HBM room for x (data/graph.py auto_tile_budget)
+    feat_bytes = dataset.num_nodes * (-(-cfg.input_dim // 128) * 128) * 4
+    graph = build_graph(dataset.graph, backend=backend, aux_bytes=feat_bytes)
     if cfg.feature_matmul == "sparse":
         from cuda_gcn_tpu.ops.matmul import SparseFeatures
 

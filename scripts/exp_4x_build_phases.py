@@ -44,9 +44,9 @@ fwd_key = phase("fwd_key", lambda: src * n + dst)
 fwd_sorted = phase("sort fwd", lambda: np.sort(fwd_key))
 phase("sort bwd + equal", lambda: np.array_equal(fwd_sorted, np.sort(dst * n + src)))
 phase("dupe check", lambda: bool(np.any(fwd_sorted[1:] == fwd_sorted[:-1])))
-cap = phase("budget cap", G._device_budget_cap)
+cap = phase("budget cap", lambda: G.auto_tile_budget(n, len(src)))
 bsr, keep = phase("select_bsr_tiles", lambda: G._select_bsr_tiles(
-    src, dst, coef, n, G.BSR_DEFAULT_TILE, None, min(G.BSR_DEFAULT_BUDGET_BYTES, cap),
+    src, dst, coef, n, G.BSR_DEFAULT_TILE, None, cap,
     G._np_dtype(G.BSR_DEFAULT_DTYPE), unique_edges=True))
 rsrc, rdst, rcoef = phase("residual mask", lambda: (src[keep], dst[keep], coef[keep]))
 print(f"tiles={bsr[0].shape} residual={len(rsrc)}", flush=True)

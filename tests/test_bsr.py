@@ -251,3 +251,57 @@ def test_bsr_duplicate_edges_accumulate():
     expected = oracle.graphsum_forward(indptr, indices, h.astype(np.float64))
     got = np.asarray(graphsum(jnp.asarray(h), g))
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_dropped_flat_coo_fails_loudly(clustered, monkeypatch):
+    """When the flat residual COO is replaced by placeholders at large scale
+    (FLAT_RESID_MAX_NNZ), any backend that needs it must raise, not silently
+    aggregate zero edges (ADVICE.md round-1, data/graph.py)."""
+    import cuda_gcn_tpu.data.graph as graph_mod
+
+    ds, h = clustered
+    monkeypatch.setattr(graph_mod, "FLAT_RESID_MAX_NNZ", 0)
+    g = build_graph(ds.graph, backend="bsr", bsr_tile=32, bsr_min_edges=64,
+                    bsr_dtype="float32", blocked_blk=32, blocked_min_nodes=0)
+    assert g.resid_nnz > 0 and int(g.src.shape[0]) == 0  # placeholder engaged
+    # the blocked bsr path still works and stays exact
+    expected = oracle.graphsum_forward(ds.graph.indptr, ds.graph.indices,
+                                       h.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(graphsum(jnp.asarray(h), g)),
+                               expected, rtol=1e-4, atol=1e-5)
+    # flat-COO consumers fail loudly
+    from cuda_gcn_tpu.data.graph import dense_adjacency
+
+    with pytest.raises(ValueError, match="flat"):
+        graphsum(jnp.asarray(h), g.with_backend("segment"))
+    with pytest.raises(ValueError):
+        dense_adjacency(g)
+
+
+def test_auto_tile_budget_math():
+    """Budget = HBM minus features/activations/residual/headroom, floored at
+    1 GB (VERDICT round-1 item 2: use the real chip memory, 15.75 GB proven)."""
+    from cuda_gcn_tpu.data.graph import auto_tile_budget
+
+    hbm = int(15.5 * (1 << 30))
+    n, nnz = 931_860, 87_400_000
+    aux = n * 640 * 4  # reddit4x dense features, lane-padded
+    b = auto_tile_budget(n, nnz, aux_bytes=aux, hbm_bytes=hbm)
+    # must leave room for everything and still beat the old 5 GB fallback
+    assert b > 6 << 30
+    assert b + aux + 2 * 12 * nnz + (1 << 30) <= hbm
+    # floor engages when reserves exceed HBM
+    assert auto_tile_budget(n, nnz, aux_bytes=hbm, hbm_bytes=hbm) == 1 << 30
+
+
+def test_auto_budget_small_graph_is_deterministic(clustered):
+    """Small builds must resolve the auto budget without querying devices."""
+    import unittest.mock as mock
+
+    import cuda_gcn_tpu.data.graph as graph_mod
+
+    ds, _ = clustered
+    with mock.patch.object(graph_mod, "device_hbm_bytes",
+                           side_effect=AssertionError("device queried")):
+        g = build_graph(ds.graph, backend="bsr", bsr_tile=32, bsr_min_edges=8)
+    assert g.backend == "bsr"

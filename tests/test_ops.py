@@ -144,3 +144,22 @@ def test_csr_matmul_matches_oracle(tiny_dataset, rng):
     # and equals the dense path
     dense = ds.dense_features() @ w
     np.testing.assert_allclose(np.asarray(got), dense, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_backend_falls_back_when_h_exceeds_vmem(csr_and_h, monkeypatch):
+    """backend='pallas' on an over-VMEM activation table must dispatch to the
+    XLA ELL path (same packing) and stay exact — the fallback the kernel
+    docstring promises (ops/pallas_spmm.py)."""
+    import cuda_gcn_tpu.ops.pallas_spmm as ps
+
+    csr, h = csr_and_h
+    graph = build_graph(csr, backend="pallas")
+    expected = oracle.graphsum_forward(csr.indptr, csr.indices, h.astype(np.float64))
+    monkeypatch.setattr(ps, "VMEM_BUDGET_BYTES", 1)  # nothing fits
+    assert not ps.fits_vmem(graph.n_nodes, h.shape[1])
+    called = []
+    orig = ps.ell_spmm
+    monkeypatch.setattr(ps, "ell_spmm", lambda *a, **k: called.append(1) or orig(*a, **k))
+    got = np.asarray(graphsum(jnp.asarray(h), graph))
+    assert not called, "pallas kernel must not run when h exceeds VMEM"
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
