@@ -127,7 +127,8 @@ def main(argv: list[str] | None = None) -> int:
         template = train_mod.create_state(dataset.apply_config(cfg))
         initial_state = restore_state(args.load_checkpoint, like=template)
         print(f"restored checkpoint from {args.load_checkpoint}")
-    result = train_mod.run(cfg, dataset, verbose=True, initial_state=initial_state)
+    result = train_mod.run(cfg, dataset, verbose=True, initial_state=initial_state,
+                           time_ops=args.timing)
 
     if args.save_checkpoint:
         from cuda_gcn_tpu.utils.checkpoint import save_state

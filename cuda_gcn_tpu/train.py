@@ -231,6 +231,87 @@ def run_chunked_loop(run_one, epochs: int, chunk: int | None, nnz: int):
     return [np.concatenate([p[i] for p in parts]) for i in range(4)]
 
 
+@partial(jax.jit, static_argnames=("epochs", "es_window", "dropout_rate",
+                                   "weight_decay", "lr"), donate_argnums=(0, 5))
+def run_epochs_es(state: TrainState, graph: Graph, x: jnp.ndarray,
+                  truth_train: jnp.ndarray, truth_val: jnp.ndarray,
+                  ring: jnp.ndarray, epoch0: jnp.ndarray, *,
+                  epochs: int, es_window: int,
+                  dropout_rate: float, weight_decay: float, lr: float):
+    """Fused early-stopping epoch loop: up to ``epochs`` (train + validation)
+    iterations in ONE device program via lax.while_loop, stopping on-device
+    with EXACT reference semantics (gcn.cpp:142-150): after global epoch e
+    (1-based), stop when e >= es_window and val_loss_e > mean of the last
+    ``es_window`` val losses (current included).
+
+    Unlike run_epochs there is no pass-fusion (the stop decision needs epoch
+    e's val loss before epoch e+1 starts), so each iteration runs the plain
+    train step + eval forward — 6 adjacency passes/epoch like the reference,
+    but still zero per-epoch host dispatch (the stepwise loop this replaces
+    paid ~2x29 ms dispatch per epoch on the tunneled chip, docs/PERF.md).
+
+    ``ring`` carries the last ``es_window`` val losses across chunked calls
+    (+inf-initialized: untouched slots never trigger a stop because the mean
+    is +inf); ``epoch0`` is the global epoch count already run. Returns
+    (state, metrics [epochs, 4] with +inf rows beyond the stop, n_done, stopped,
+    ring).
+    """
+
+    def cond(carry):
+        _, i, stop, _, _ = carry
+        return jnp.logical_and(i < epochs, jnp.logical_not(stop))
+
+    def body(carry):
+        state, i, _, metrics, ring = carry
+        state, tl, ta = _train_epoch_core(state, graph, x, truth_train,
+                                          dropout_rate=dropout_rate,
+                                          weight_decay=weight_decay, lr=lr)
+        vl, va = _eval_core(state.params, graph, x, truth_val,
+                            weight_decay=weight_decay)
+        metrics = jax.lax.dynamic_update_slice(
+            metrics, jnp.stack([tl, ta, vl, va])[None].astype(jnp.float32), (i, 0))
+        epoch = epoch0 + i + 1  # 1-based global epoch
+        ring = jax.lax.dynamic_update_slice(
+            ring, vl[None].astype(jnp.float32), ((epoch - 1) % es_window,))
+        stop = jnp.logical_and(epoch >= es_window,
+                               vl > jnp.mean(ring))
+        return state, i + 1, stop, metrics, ring
+
+    metrics0 = jnp.full((epochs, 4), jnp.inf, jnp.float32)
+    state, n_done, stopped, metrics, ring = jax.lax.while_loop(
+        cond, body, (state, jnp.int32(0), jnp.bool_(False), metrics0, ring))
+    return state, metrics, n_done, stopped, ring
+
+
+def run_epochs_es_chunked(state: TrainState, graph: Graph, x, truth_train,
+                          truth_val, *, epochs: int, es_window: int,
+                          chunk: int | None = None, **step_kwargs):
+    """run_epochs_es in bounded chunks (same program-length policy as the
+    non-ES runner). Returns (state, [4 x np.ndarray] truncated at the stop
+    epoch, stopped)."""
+    nnz = graph.total_nnz or graph.nnz
+    if chunk is None:
+        # 6 passes/epoch here vs the fused loop's 4: scale the chunk down
+        chunk = _balance_chunks(epochs, max(1, pick_epoch_chunk(nnz, epochs) * 2 // 3))
+    ring = jnp.full((es_window,), jnp.inf, jnp.float32)
+    epoch0 = jnp.int32(0)
+    parts: list[np.ndarray] = []
+    done = 0
+    stopped = False
+    while done < epochs and not stopped:
+        k = min(chunk, epochs - done)
+        state, metrics, n_done, stop_flag, ring = run_epochs_es(
+            state, graph, x, truth_train, truth_val, ring, epoch0,
+            epochs=k, es_window=es_window, **step_kwargs)
+        n_done = int(n_done)
+        parts.append(np.asarray(metrics)[:n_done])
+        stopped = bool(stop_flag)
+        done += n_done
+        epoch0 = jnp.int32(done)
+    all_m = np.concatenate(parts, axis=0)
+    return state, [all_m[:, i] for i in range(4)], stopped
+
+
 def run_epochs_chunked(state: TrainState, graph: Graph, x, truth_train, truth_val, *,
                        epochs: int, chunk: int | None = None, **step_kwargs):
     """run_epochs in fixed-size chunks (one compile when chunk divides epochs),
@@ -297,8 +378,13 @@ def prepare(cfg: GCNConfig, dataset: GCNDataset):
 
 
 def run(cfg: GCNConfig, dataset: GCNDataset, verbose: bool = True,
-        initial_state: TrainState | None = None) -> RunResult:
-    """Full training run with the reference's epoch loop and output contract."""
+        initial_state: TrainState | None = None, time_ops: bool = False) -> RunResult:
+    """Full training run with the reference's epoch loop and output contract.
+
+    ``time_ops`` additionally measures every per-op TMR_* phase at the real
+    model shapes after training (utils/profiling.populate_op_timers), so
+    ``--timing`` reports true device-time averages per op — the reference's
+    PRINT_TIMER_AVERAGE intent (src/common/timer.h:26) with real sync."""
     cfg, graph, x, truths = prepare(cfg, dataset)
     state = initial_state if initial_state is not None else create_state(cfg)
 
@@ -307,14 +393,24 @@ def run(cfg: GCNConfig, dataset: GCNDataset, verbose: bool = True,
     history: list[dict] = []
     loss_history: list[float] = []
     epochs_run = 0
-    if cfg.early_stopping <= 0 and cfg.epochs > 1:
-        # fused path: all epochs in one device program (no per-epoch dispatch)
+    stopped_early = False
+    if cfg.epochs > 1:
+        # fused path: epochs run in chunked device programs with no per-epoch
+        # host dispatch. With early stopping the stop decision is made
+        # ON-DEVICE inside a lax.while_loop with exact reference semantics
+        # (run_epochs_es); without it, the pass-fused scan (run_epochs).
         timers.start(TMR_TRAIN)
-        state, metrics = run_epochs_chunked(state, graph, x, truths[1], truths[2],
-                                            epochs=cfg.epochs, **step_kwargs)
+        if cfg.early_stopping > 0:
+            state, metrics, stopped_early = run_epochs_es_chunked(
+                state, graph, x, truths[1], truths[2], epochs=cfg.epochs,
+                es_window=cfg.early_stopping, **step_kwargs)
+        else:
+            state, metrics = run_epochs_chunked(state, graph, x, truths[1], truths[2],
+                                                epochs=cfg.epochs, **step_kwargs)
         total_time = timers.stop(TMR_TRAIN)
-        per_epoch = total_time / cfg.epochs
-        for epoch in range(1, cfg.epochs + 1):
+        epochs_run = len(metrics[0])
+        per_epoch = total_time / max(epochs_run, 1)
+        for epoch in range(1, epochs_run + 1):
             train_loss, train_acc, val_loss, val_acc = (float(m[epoch - 1]) for m in metrics)
             if verbose:
                 print(f"epoch={epoch} train_loss={train_loss:.5f} train_acc={train_acc:.5f} "
@@ -322,7 +418,8 @@ def run(cfg: GCNConfig, dataset: GCNDataset, verbose: bool = True,
             history.append(dict(epoch=epoch, train_loss=train_loss, train_acc=train_acc,
                                 val_loss=val_loss, val_acc=val_acc, time=per_epoch))
             loss_history.append(val_loss)
-        epochs_run = cfg.epochs
+        if stopped_early and verbose:
+            print("Early stopping...")
     else:
         for epoch in range(1, cfg.epochs + 1):
             timers.start(TMR_TRAIN)
@@ -358,6 +455,13 @@ def run(cfg: GCNConfig, dataset: GCNDataset, verbose: bool = True,
     test_time = timers.stop(TMR_TEST)
     if verbose:
         print(f"test_loss={test_loss:.5f} test_acc={test_acc:.5f} time={test_time:.5f}")
+
+    if time_ops:
+        from cuda_gcn_tpu.utils.profiling import populate_op_timers
+
+        populate_op_timers(graph, x, state.params, truths[1],
+                           jax.random.PRNGKey(cfg.seed),
+                           dropout_rate=cfg.dropout)
 
     return RunResult(test_loss=test_loss, test_acc=test_acc, total_train_time=total,
                      epochs_run=epochs_run, state=state, history=history)

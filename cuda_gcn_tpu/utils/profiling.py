@@ -50,3 +50,89 @@ def spmm_speed_of_light(nnz: int, dim: int, measured_s: float,
         "gather_bytes": gather_bytes,
         "dense_tile_bytes": dense_tile_bytes,
     }
+
+
+def populate_op_timers(graph, x, params, truth, key, *, dropout_rate: float = 0.5,
+                       repeats: int | None = None) -> dict:
+    """Measure real device time for every reference-timed op phase and record
+    it in the global phase-timer registry (utils/timer.py).
+
+    The reference brackets each module's forward/backward with TMR_* timers
+    (src/common/timer.h:5-26, src/seq/module.cpp:12,21) — but its CUDA timings
+    measure kernel LAUNCH, not execution (no sync, SURVEY.md §3.3). Here each
+    op runs as a jitted K-repeat carry-chained lax.scan (the chain defeats
+    hoisting/CSE) at the REAL model shapes, so per-op averages are true device
+    times with dispatch amortized away. Returns {phase: avg_seconds}.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from cuda_gcn_tpu.ops.dropout import dropout
+    from cuda_gcn_tpu.ops.graphsum import graphsum
+    from cuda_gcn_tpu.ops.loss import masked_cross_entropy
+    from cuda_gcn_tpu.utils import timer as T
+
+    n = graph.n_nodes
+    if repeats is None:
+        repeats = 50 if n < 50_000 else 10
+    w1, w2 = params["w1"], params["w2"]
+
+    @jax.jit
+    def _stage(x):
+        z1 = jnp.dot(x, w1, preferred_element_type=jnp.float32).astype(x.dtype)
+        h1 = jnp.maximum(graphsum(z1, graph), 0.0)
+        z2 = jnp.dot(h1, w2, preferred_element_type=jnp.float32).astype(x.dtype)
+        logits = graphsum(z2, graph)
+        return z1, h1, z2, logits
+
+    z1, h1, z2, logits = _stage(x)
+    g2 = jnp.ones_like(logits) / n
+    g1 = jnp.ones_like(z1) / n
+
+    def timed(fn, init):
+        @jax.jit
+        def prog(h):
+            def body(c, i):
+                out = fn(c, i)
+                # chain through one element so the op can't be hoisted/CSE'd
+                return c + (0.0 * out.ravel()[0]).astype(c.dtype), None
+
+            c, _ = jax.lax.scan(body, h, jnp.arange(repeats))
+            return jnp.sum(c)
+
+        float(prog(init))  # compile + warm
+        t0 = time.perf_counter()
+        float(prog(init))  # scalar materialization == reliable sync
+        return (time.perf_counter() - t0) / repeats
+
+    _, gs_vjp = jax.vjp(lambda h: graphsum(h, graph), z2)
+    ce_grad = jax.grad(masked_cross_entropy)
+
+    ops = {
+        T.TMR_DROPOUT_FW: (lambda c, i: dropout(
+            c, dropout_rate, jax.random.fold_in(key, i), True), x),
+        T.TMR_DROPOUT_BW: (lambda c, i: dropout(
+            c, dropout_rate, jax.random.fold_in(key, i), True), x),
+        T.TMR_SPMATMUL_FW: (lambda c, i: jnp.dot(
+            c, w1, preferred_element_type=jnp.float32), x),
+        T.TMR_SPMATMUL_BW: (lambda c, i: jnp.dot(
+            x.T, c, preferred_element_type=jnp.float32), g1),
+        T.TMR_GRAPHSUM_FW: (lambda c, i: graphsum(c, graph), z1),
+        T.TMR_GRAPHSUM_BW: (lambda c, i: gs_vjp(c)[0], g2),
+        T.TMR_RELU_FW: (lambda c, i: jnp.maximum(c, 0.0), z1),
+        T.TMR_RELU_BW: (lambda c, i: jnp.where(h1 > 0, c, 0.0), g1),
+        T.TMR_MATMUL_FW: (lambda c, i: jnp.dot(
+            c, w2, preferred_element_type=jnp.float32), h1),
+        T.TMR_MATMUL_BW: (lambda c, i: jnp.dot(
+            c, w2.T, preferred_element_type=jnp.float32)
+            + 0.0 * jnp.dot(h1.T, c, preferred_element_type=jnp.float32).ravel()[0], g2),
+        T.TMR_LOSS_FW: (lambda c, i: ce_grad(c, truth), logits),
+    }
+    out = {}
+    for name, (fn, init) in ops.items():
+        avg = timed(fn, init)
+        T.timers.add(name, avg * repeats, repeats)
+        out[name] = avg
+    return out

@@ -48,6 +48,11 @@ class PhaseTimer:
         self._count[name] += 1
         return elapsed
 
+    def add(self, name: str, seconds: float, count: int = 1) -> None:
+        """Record externally-measured time (e.g. a jitted K-repeat op loop)."""
+        self._total[name] += seconds
+        self._count[name] += count
+
     def total(self, name: str) -> float:
         return self._total[name]
 

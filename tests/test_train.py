@@ -194,3 +194,46 @@ def test_chunked_probe_path_matches_unchunked(tiny_dataset, monkeypatch):
     for k in s1.params:
         np.testing.assert_allclose(np.asarray(s1.params[k]),
                                    np.asarray(s2.params[k]), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_es_matches_stepwise_exactly(tiny_dataset):
+    """The on-device early-stopping while_loop (train.run_epochs_es) must stop
+    at the same epoch and produce bitwise-equivalent metrics as the stepwise
+    train_step+eval_step loop with the reference's ES rule (gcn.cpp:142-150),
+    including across chunk boundaries."""
+    import numpy as np
+
+    from cuda_gcn_tpu import train as train_mod
+
+    cfg = GCNConfig(hidden_dim=8, epochs=60, early_stopping=4, seed=0,
+                    learning_rate=0.6)
+    cfg2, graph, x, truths = train_mod.prepare(cfg, tiny_dataset)
+    kw = dict(dropout_rate=cfg2.dropout, weight_decay=cfg2.weight_decay,
+              lr=cfg2.learning_rate)
+    state = train_mod.create_state(cfg2)
+    hist, losses, stop_at = [], [], None
+    for epoch in range(1, cfg2.epochs + 1):
+        state, tl, ta = train_mod.train_step(state, graph, x, truths[1], **kw)
+        vl, va = train_mod.eval_step(state.params, graph, x, truths[2],
+                                     weight_decay=cfg2.weight_decay)
+        tl, ta, vl, va = map(float, (tl, ta, vl, va))
+        hist.append((tl, ta, vl, va))
+        losses.append(vl)
+        if epoch >= 4 and vl > sum(losses[epoch - 4:epoch]) / 4:
+            stop_at = epoch
+            break
+    assert stop_at is not None and stop_at < cfg2.epochs  # ES actually fires
+
+    r = train_mod.run(cfg, tiny_dataset, verbose=False)
+    assert r.epochs_run == stop_at
+    fused = [(h["train_loss"], h["train_acc"], h["val_loss"], h["val_acc"])
+             for h in r.history]
+    np.testing.assert_allclose(np.array(fused), np.array(hist), rtol=1e-5, atol=1e-6)
+
+    # chunk boundaries (ring carry-over) must not change the trajectory
+    st = train_mod.create_state(cfg2)
+    st, m, stopped = train_mod.run_epochs_es_chunked(
+        st, graph, x, truths[1], truths[2], epochs=cfg2.epochs, es_window=4,
+        chunk=3, **kw)
+    assert stopped and len(m[0]) == stop_at
+    np.testing.assert_allclose(np.stack(m, 1), np.array(hist), rtol=1e-5, atol=1e-6)
