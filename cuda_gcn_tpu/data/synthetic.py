@@ -44,6 +44,14 @@ class SynthSpec:
     num_val: int = 500
     num_test: int = 1000
     powerlaw: float = 0.8   # degree skew (0 = uniform)
+    # --- difficulty knobs (round-2: make accuracy DISCRIMINATIVE, 0.7-0.85,
+    # so parity checks vs gcn-seq can actually fail — VERDICT round-1 item 3).
+    # All three leave the sampled GRAPH bit-identical (the RNG stream consumes
+    # the same draws; label noise draws after the split) so cached locality
+    # permutations stay valid.
+    feat_band_p: float = 0.7   # P(feature id drawn from the class band)
+    feat_noise: float = 0.1    # feature value noise sigma
+    label_noise: float = 0.0   # fraction of labels flipped to a random class
 
 
 def spec_for(name: str, **overrides) -> SynthSpec:
@@ -54,6 +62,13 @@ def spec_for(name: str, **overrides) -> SynthSpec:
         spec.train_per_class = max(20, n // (4 * c))
         spec.num_val = n // 10
         spec.num_test = n // 5
+    # Named profiles run at DISCRIMINATIVE difficulty (test acc ~0.7-0.85, like
+    # the real datasets' ~0.80 cora): weak class-band features, value noise,
+    # and annotation noise — stronger on the densely-supervised big profiles.
+    # The adjacency sample is unchanged by these knobs (see SynthSpec).
+    spec.feat_band_p = 0.45
+    spec.feat_noise = 0.6
+    spec.label_noise = 0.1 if n <= 100_000 else 0.15
     return dataclasses.replace(spec, **overrides)
 
 
@@ -113,14 +128,14 @@ def make_synthetic(name_or_spec, seed: int = 0) -> GCNDataset:
     # a node draws most of its nnz from its class band, the rest anywhere.
     k = min(spec.nnz_per_node, f)
     band = max(f // c, 1)
-    in_band = rng.random((n, k)) < 0.7
+    in_band = rng.random((n, k)) < spec.feat_band_p
     band_lo = (labels.astype(np.int64) * band) % f
     feat_ids = np.where(
         in_band,
         band_lo[:, None] + rng.integers(0, band, size=(n, k)),
         rng.integers(0, f, size=(n, k)),
     ) % f
-    feat_vals = (1.0 + 0.1 * rng.standard_normal((n, k))).astype(np.float32)
+    feat_vals = (1.0 + spec.feat_noise * rng.standard_normal((n, k))).astype(np.float32)
     # dedupe per row by keeping first occurrence (svmlight wants unique keys)
     sort_ix = np.argsort(feat_ids, axis=1, kind="stable")
     feat_ids = np.take_along_axis(feat_ids, sort_ix, axis=1)
@@ -148,6 +163,15 @@ def make_synthetic(name_or_spec, seed: int = 0) -> GCNDataset:
     rest = perm[~taken[perm]]
     split[rest[: spec.num_val]] = 2
     split[rest[spec.num_val : spec.num_val + spec.num_test]] = 3
+
+    # label noise LAST (extra draws after the split: the graph/features/split
+    # sampled above are unchanged for a given seed regardless of this knob).
+    # Flips hit train supervision and eval targets alike, capping attainable
+    # accuracy at ~1 - noise*(1 - 1/c) like real-world annotation noise.
+    if spec.label_noise > 0:
+        flip = rng.random(n) < spec.label_noise
+        labels = np.where(
+            flip, rng.integers(0, c, size=n).astype(np.int32), labels)
 
     return GCNDataset(
         graph=graph,
