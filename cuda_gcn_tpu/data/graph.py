@@ -71,10 +71,12 @@ class Graph:
     bsr_cols: jnp.ndarray | None = None   # [K] block-col ids
     bsr_tb: int = 0                       # static tile size
     bsr_nblocks: int = 0                  # static T = padded_nodes // TB
-    # Column-blocked layouts of the residual COO (large-graph 'bsr' only):
-    # gathers run ~3x faster from ≤16 MB table slices (docs/PERF.md).
-    blk_fwd: "BlockedCOODev | None" = None
-    blk_bwd: "BlockedCOODev | None" = None
+    # 2D-tiled (row-band x column-window) streaming layouts of the residual
+    # COO (large-graph 'bsr' only): bounds the segment-reduction output to a
+    # small row window (the >=75 ns/edge cliff at huge outputs) AND keeps
+    # gathers inside <=16 MB table windows (~3x faster) — see Blocked2DDev.
+    blk_fwd: "Blocked2DDev | None" = None
+    blk_bwd: "Blocked2DDev | None" = None
     total_nnz: int = 0                    # nnz of Â incl. tile-covered edges
     resid_nnz: int = 0                    # residual edge count (survives placeholder COO)
     n_nodes: int = 0
@@ -107,33 +109,117 @@ class Graph:
                    resid_nnz=aux[6], n_nodes=aux[0], symmetric=aux[1], backend=aux[2])
 
 
+# 2D-tiled residual (Blocked2DDev): target gather/accumulator window node count
+# (~8 MB lane-padded f32) and the node count below which the full activation
+# table is already small enough that flat gathers run at near-window speed.
+BLOCKED_RESID_TARGET_BLK = 16384
+BLOCKED_RESID_MIN_NODES = 3 * BLOCKED_RESID_TARGET_BLK
+# Above this residual size, the flat COO device copy is dropped once the
+# blocked layout exists (it would only duplicate the same edges in HBM).
+FLAT_RESID_MAX_NNZ = 30_000_000
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
-class BlockedCOODev:
-    """Column-blocked COO residual layout for the 'bsr' backend.
+class Blocked2DDev:
+    """2D-tiled (row-band x column-window) COO residual layout — the streaming
+    aggregation kernel for large graphs.
 
-    A full-table HBM row gather costs ~12.3 ns/row on the target chip, but a
-    gather from a ≤16 MB table slice costs ~4.0 ns/row (docs/PERF.md "blocked
-    gather"). The residual edges are bucketed into ``nb`` blocks of contiguous
-    column (gather-source) ranges chosen for EQUAL EDGE COUNTS (variable node
-    ranges, ~zero padding); aggregation scans the blocks, dynamic-slicing an
-    ~8-16 MB window of the activation table per block. Rows stay sorted within
-    each block so the per-block segment-sum is a sorted reduction; padding
-    lanes carry segment id n (an extra segment sliced off afterwards).
+    Measured cliff (docs/PERF.md "Beyond reddit", scripts/exp_stream4x.py): at
+    ~73M edges aggregating into a ~932K-row output, the XLA gather+segment_sum
+    pipeline degrades to ~4.5 ns per edge*feature-element (110 ns/edge at d=16)
+    — the reduction scalarizes once the segment output is huge — while the same
+    edges reduced into 16K-row windows with 16K-row gather windows run at
+    ~10 ns/edge *independent of width*. This layout bounds BOTH sides:
+
+    * edges are cut into ``nb`` row bands at edge-count quantiles (variable
+      node ranges, static max window ``rbw``); the accumulator is touched one
+      [rbw, d] dynamic-sliced window per band, carried across the band's inner
+      scan (one read + one write per band);
+    * within a band, columns are cut into ``nc`` equal-edge windows (static
+      max width ``width``): every gather hits a <=8-16 MB dynamic-sliced table
+      window (the ~4 ns/row path, docs/PERF.md "blocked gather");
+    * per-tile rows are LOCAL to the band (sorted; pad = rbw, dropped), cols
+      LOCAL to the window (pad 0, coef 0).
+
+    The reference's counterpart is its gather-formulated GraphSum kernel pair
+    (src/cuda/cuda_kernel.cu:126-162), which never faced this regime — its max
+    demonstrated scale is reddit (report.pdf §3.2).
     """
 
-    starts: jnp.ndarray  # (nb,) int32 table-window start row per block
-    rows: jnp.ndarray    # (nb, cap) int32 output row ids, sorted per block; pad = n
-    cols: jnp.ndarray    # (nb, cap) int32 LOCAL gather ids (global - starts[b]); pad 0
-    coef: jnp.ndarray    # (nb, cap) float32 edge coefficients; pad 0.0
-    width: int = 0       # static table-window width (max node range, rounded up)
+    rstarts: jnp.ndarray  # (nb,) int32 accumulator-window start row per band
+    cstarts: jnp.ndarray  # (nb, nc) int32 gather-window start per tile
+    rows: jnp.ndarray     # (nb, nc, cap) int32 band-local row ids, sorted/tile
+    cols: jnp.ndarray     # (nb, nc, cap) int32 window-local gather ids
+    coef: jnp.ndarray     # (nb, nc, cap) float32; pad 0.0
+    rbw: int = 0          # static accumulator window rows
+    width: int = 0        # static gather window width
 
     def tree_flatten(self):
-        return (self.starts, self.rows, self.cols, self.coef), (self.width,)
+        return ((self.rstarts, self.cstarts, self.rows, self.cols, self.coef),
+                (self.rbw, self.width))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, width=aux[0])
+        return cls(*leaves, rbw=aux[0], width=aux[1])
+
+
+def _blocked2d_pack_arrays(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray,
+                           n: int, target_blk: int = BLOCKED_RESID_TARGET_BLK):
+    """Host-side 2D packing: row-band quantile cuts, then the 1D column packer
+    per band. Input must be row-sorted. Returns (rstarts, cstarts, r, c, w,
+    rbw, width) numpy arrays or None for an empty edge set."""
+    m = len(rows)
+    if m == 0:
+        return None
+    nb_t = max(int(np.ceil(n / target_blk)), 1)
+    rowcnt = np.bincount(rows, minlength=n)
+    cum = np.concatenate([[0], np.cumsum(rowcnt)])
+    targets = (np.arange(1, nb_t) * m) // nb_t
+    rstarts = np.unique(
+        np.concatenate([[0], np.searchsorted(cum, targets)])).astype(np.int64)
+    nb = len(rstarts)
+    row_hi = np.concatenate([rstarts[1:], [n]])
+    rbw = int(-(-int((row_hi - rstarts).max()) // 8) * 8)
+    band_of = np.searchsorted(row_hi, rows, side="right")
+    band_counts = np.bincount(band_of, minlength=nb)
+    band_st = np.concatenate([[0], np.cumsum(band_counts)])
+    packs = []
+    for b in range(nb):  # rows sorted => bands are contiguous edge slices
+        sl = slice(int(band_st[b]), int(band_st[b + 1]))
+        packs.append(_blocked_pack_arrays(
+            rows[sl] - rstarts[b], cols[sl], coef[sl], n, target_blk,
+            pad_row=rbw))
+    nc = max((len(p[0]) for p in packs if p), default=1)
+    cap = max((p[1].shape[1] for p in packs if p), default=8)
+    width = max((p[4] for p in packs if p), default=8)
+    cst = np.zeros((nb, nc), np.int32)
+    r = np.full((nb, nc, cap), rbw, np.int32)
+    c = np.zeros((nb, nc, cap), np.int32)
+    w = np.zeros((nb, nc, cap), np.float32)
+    for b, p in enumerate(packs):
+        if p is None:
+            continue
+        st_, rr, cc, ww, _ = p
+        k, mcap = len(st_), rr.shape[1]
+        cst[b, :k] = st_
+        r[b, :k, :mcap] = rr
+        c[b, :k, :mcap] = cc
+        w[b, :k, :mcap] = ww
+    return rstarts.astype(np.int32), cst, r, c, w, rbw, width
+
+
+def _blocked2d_pack(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray,
+                    n: int, target_blk: int = BLOCKED_RESID_TARGET_BLK
+                    ) -> "Blocked2DDev | None":
+    packed = _blocked2d_pack_arrays(rows, cols, coef, n, target_blk)
+    if packed is None:
+        return None
+    rstarts, cstarts, r, c, w, rbw, width = packed
+    return Blocked2DDev(
+        rstarts=jnp.asarray(rstarts), cstarts=jnp.asarray(cstarts),
+        rows=jnp.asarray(r), cols=jnp.asarray(c), coef=jnp.asarray(w),
+        rbw=rbw, width=width)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -225,23 +311,21 @@ def _coo_to_csr(rows_sorted: np.ndarray, n: int) -> np.ndarray:
     return indptr
 
 
-# Column-blocked residual (BlockedCOODev): target gather-window node count
-# (~8 MB lane-padded f32) and the node count below which the full activation
-# table is already small enough that flat gathers run at near-window speed.
-BLOCKED_RESID_TARGET_BLK = 16384
-BLOCKED_RESID_MIN_NODES = 3 * BLOCKED_RESID_TARGET_BLK
-# Above this residual size, the flat COO device copy is dropped once the
-# blocked layout exists (it would only duplicate the same edges in HBM).
-FLAT_RESID_MAX_NNZ = 30_000_000
-
-
 def _blocked_pack_arrays(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray,
-                         n: int, target_blk: int = BLOCKED_RESID_TARGET_BLK):
-    """Host-side core of _blocked_pack: returns (starts, r, c, w, width) numpy
-    arrays, or None for an empty edge set (see _blocked_pack)."""
+                         n: int, target_blk: int = BLOCKED_RESID_TARGET_BLK,
+                         pad_row: int | None = None):
+    """Equal-edge-count column-window packing (the per-band core of the 2D
+    packer): block boundaries are column-range cuts at edge-count quantiles,
+    so every block does the same gather work (~zero padding) while its gather
+    window stays small. Returns (starts, r, c, w, width) numpy arrays, or
+    None for an empty edge set. ``pad_row``
+    overrides the padding segment id (default ``n``) — the 2D packer passes
+    its band window width so pads drop out of the small per-band reduction."""
     m = len(rows)
     if m == 0:
         return None
+    if pad_row is None:
+        pad_row = n
     nb = max(int(np.ceil(n / target_blk)), 1)
     colcnt = np.bincount(cols, minlength=n)
     cum = np.concatenate([[0], np.cumsum(colcnt)])
@@ -255,7 +339,7 @@ def _blocked_pack_arrays(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray,
     counts = np.bincount(blk_of, minlength=nb)
     cap = int(-(-max(int(counts.max()), 1) // 8) * 8)
     width = int(-(-int(np.max(edges_node_hi - starts_nodes)) // 8) * 8)
-    r = np.full((nb, cap), n, dtype=np.int32)
+    r = np.full((nb, cap), pad_row, dtype=np.int32)
     c = np.zeros((nb, cap), dtype=np.int32)
     w = np.zeros((nb, cap), dtype=np.float32)
     st = np.concatenate([[0], np.cumsum(counts)])
@@ -266,24 +350,6 @@ def _blocked_pack_arrays(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray,
         c[b, :k] = cols[sl] - starts_nodes[b]
         w[b, :k] = coef[sl]
     return starts_nodes.astype(np.int32), r, c, w, width
-
-
-def _blocked_pack(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray, n: int,
-                  target_blk: int = BLOCKED_RESID_TARGET_BLK) -> "BlockedCOODev | None":
-    """Bucket a row-sorted COO into equal-edge-count column blocks.
-
-    Block boundaries are column-range cuts at edge-count quantiles, so every
-    scan step does the same amount of gather work (~zero padding) while its
-    gather window stays small. Returns None for an empty residual.
-    """
-    packed = _blocked_pack_arrays(rows, cols, coef, n, target_blk)
-    if packed is None:
-        return None
-    starts, r, c, w, width = packed
-    return BlockedCOODev(
-        starts=jnp.asarray(starts),
-        rows=jnp.asarray(r), cols=jnp.asarray(c), coef=jnp.asarray(w),
-        width=width)
 
 
 # 'auto' backend: dense MXU matmul below this node count; block-sparse tiles
@@ -363,8 +429,8 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
     blk_fwd = blk_bwd = None
     resid_nnz = len(src)
     if backend == "bsr" and n >= blocked_min_nodes:
-        blk_fwd = _blocked_pack(src, dst, coef, n, blocked_blk)
-        blk_bwd = _blocked_pack(t_src, t_dst, t_coef, n, blocked_blk)
+        blk_fwd = _blocked2d_pack(src, dst, coef, n, blocked_blk)
+        blk_bwd = _blocked2d_pack(t_src, t_dst, t_coef, n, blocked_blk)
 
     # At large scale the flat residual COO (6 arrays x nnz) would only
     # duplicate the blocked layout in HBM; keep a placeholder instead. The

@@ -71,30 +71,46 @@ def _ell_apply(h, buckets, n):
     return out
 
 
-def _blocked_apply(h, bc, n):
-    """Residual aggregation over a BlockedCOODev: lax.scan over column blocks,
-    each gathering from a dynamic-sliced ≤16 MB window of the (padded)
-    activation table at ~3x flat-gather speed (docs/PERF.md "blocked gather").
-    Padding edges land in segment ``n`` which is sliced off; accumulation is
-    f32 regardless of activation dtype."""
+def _blocked2d_apply(h, b2, n):
+    """Streaming residual aggregation over a Blocked2DDev (data/graph.py):
+    outer lax.scan over row bands, inner scan over that band's column windows.
+    Each inner step gathers from a dynamic-sliced <=16 MB window of the padded
+    activation table (~4 ns/row, docs/PERF.md "blocked gather") and reduces
+    into a SMALL [rbw+1, d] sorted segment-sum — never the full [n, d] output,
+    which is the >=75 ns/edge materialization cliff at ~1M-row outputs
+    (docs/PERF.md "Beyond reddit", scripts/exp_stream4x.py: 110 -> 10 ns/edge,
+    width-independent). The accumulator is touched one dynamic-sliced [rbw, d]
+    window per band, carried across the inner scan. Padding edges land in
+    band-local segment ``rbw`` (dropped); accumulation is f32 regardless of
+    activation dtype."""
     d = h.shape[1]
-    w = bc.width
+    rbw, w = b2.rbw, b2.width
     hp = jnp.pad(h, ((0, w), (0, 0)))
 
-    def step(acc, xs):
-        start, r, c, wgt = xs
-        sub = jax.lax.dynamic_slice_in_dim(hp, start, w)
-        vals = sub[c] * wgt[:, None].astype(h.dtype)
-        part = jax.ops.segment_sum(vals.astype(jnp.float32), r, num_segments=n + 1,
-                                   indices_are_sorted=True)
-        return acc + part[:n], None
+    def band(acc, xs):
+        r0, cs, rr, cc, ww = xs
+
+        def col(win, ys):
+            c0, r, c, wgt = ys
+            sub = jax.lax.dynamic_slice_in_dim(hp, c0, w)
+            vals = sub[c] * wgt[:, None].astype(h.dtype)
+            part = jax.ops.segment_sum(vals.astype(jnp.float32), r,
+                                       num_segments=rbw + 1,
+                                       indices_are_sorted=True)
+            return win + part[:rbw], None
+
+        win0 = jax.lax.dynamic_slice_in_dim(acc, r0, rbw)
+        win, _ = jax.lax.scan(col, win0, (cs, rr, cc, ww))
+        return jax.lax.dynamic_update_slice_in_dim(acc, win, r0, 0), None
 
     # derive the zero carry from a graph leaf so its varying-axis type matches
-    # the scanned operands under shard_map (coef is finite by construction)
-    zero = (bc.coef[0, 0] * 0).astype(jnp.float32)
-    acc, _ = jax.lax.scan(step, jnp.zeros((n, d), jnp.float32) + zero,
-                          (bc.starts, bc.rows, bc.cols, bc.coef))
-    return acc.astype(h.dtype)
+    # the scanned operands under shard_map (coef is finite by construction);
+    # acc is padded by rbw so the last band's window slice stays in bounds
+    zero = (b2.coef[0, 0, 0] * 0).astype(jnp.float32)
+    acc0 = jnp.zeros((n + rbw, d), jnp.float32) + zero
+    acc, _ = jax.lax.scan(
+        band, acc0, (b2.rstarts, b2.cstarts, b2.rows, b2.cols, b2.coef))
+    return acc[:n].astype(h.dtype)
 
 
 # Above this tile count the batched tile einsum is chunked with a lax.scan so
@@ -132,7 +148,7 @@ def _tile_contract(tiles, rows, cols, hT, t_blocks, transpose):
                                    indices_are_sorted=not transpose)
         return acc + part[:t_blocks], None
 
-    zero = (rows_c[0, 0] * 0).astype(jnp.float32)  # varying-aware zero (cf. _blocked_apply)
+    zero = (rows_c[0, 0] * 0).astype(jnp.float32)  # varying-aware zero (cf. _blocked2d_apply)
     acc, _ = jax.lax.scan(step, jnp.zeros((t_blocks, d, tb), jnp.float32) + zero,
                           (tiles_c, rows_c, cols_c))
     return acc
@@ -162,7 +178,7 @@ def _bsr_apply(h, graph: Graph, transpose: bool):
     blk = graph.blk_bwd if transpose else graph.blk_fwd
     ell = graph.ell_bwd if transpose else graph.ell_fwd
     if blk is not None:  # column-blocked gather windows (large graphs)
-        resid = _blocked_apply(h, blk, n)
+        resid = _blocked2d_apply(h, blk, n)
     elif ell:  # scatter-free residual accumulation
         resid = _ell_apply(h, ell, n)
     elif transpose:
@@ -249,7 +265,7 @@ class RectGraph:
     tiles: jnp.ndarray | None = None      # [K, tb, tb] dense tile values
     tile_rows: jnp.ndarray | None = None  # [K] block-row ids (sorted)
     tile_cols: jnp.ndarray | None = None  # [K] block-col ids
-    blk_fwd: "object | None" = None       # BlockedCOODev for the residual
+    blk_fwd: "object | None" = None       # Blocked2DDev for the residual
     blk_bwd: "object | None" = None
     n_out: int = 0
     n_in: int = 0
@@ -291,7 +307,7 @@ def _rect_apply(h, rg: RectGraph, transpose: bool):
     else:
         rows, cols, coef, n, blk = rg.rows, rg.cols, rg.coef, rg.n_out, rg.blk_fwd
     if blk is not None:
-        out = _blocked_apply(h, blk, n)
+        out = _blocked2d_apply(h, blk, n)
     else:
         out = _segment_apply(h, rows, cols, coef, n)
     if rg.tiles is not None and rg.tiles.shape[0] > 0:

@@ -28,7 +28,7 @@ import numpy as np
 
 from cuda_gcn_tpu.data.graph import (
     BLOCKED_RESID_MIN_NODES, BLOCKED_RESID_TARGET_BLK, BSR_DEFAULT_BUDGET_BYTES,
-    BSR_DEFAULT_DTYPE, BSR_DEFAULT_TILE, _blocked_pack_arrays, _np_dtype,
+    BSR_DEFAULT_DTYPE, BSR_DEFAULT_TILE, _blocked2d_pack_arrays, _np_dtype,
     _select_bsr_tiles, normalization_coefficients)
 from cuda_gcn_tpu.data.parser import CSR
 
@@ -78,15 +78,19 @@ class PartitionedGraph:
     i_tile_cols: np.ndarray = None   # [P, Kmax]
     tb: int = 0                      # tile size (0 = no tiles)
     i_nblocks: int = 0               # ceil(block / tb)
-    # column-blocked interior residual (None fields = not built)
-    i_blk_starts: np.ndarray = None  # [P, nb]
-    i_blk_rows: np.ndarray = None    # [P, nb, cap]
+    # 2D-tiled interior residual (None fields = not built): row-band x
+    # column-window streaming layout (data/graph.py Blocked2DDev)
+    i_blk_rstarts: np.ndarray = None  # [P, nb]
+    i_blk_cstarts: np.ndarray = None  # [P, nb, nc]
+    i_blk_rows: np.ndarray = None     # [P, nb, nc, cap]
     i_blk_cols: np.ndarray = None
     i_blk_coef: np.ndarray = None
-    it_blk_starts: np.ndarray = None
+    it_blk_rstarts: np.ndarray = None
+    it_blk_cstarts: np.ndarray = None
     it_blk_rows: np.ndarray = None
     it_blk_cols: np.ndarray = None
     it_blk_coef: np.ndarray = None
+    blk_rbw: int = 0                 # static accumulator-window rows (max over parts)
     blk_width: int = 0               # static gather-window width (max over parts)
 
     @property
@@ -107,37 +111,46 @@ class PartitionedGraph:
         return np.pad(arr, widths, constant_values=fill)
 
 
-def _stack_blocked(fwd_resid, bwd_resid, block: int, blocked_blk: int) -> dict:
-    """Column-block each part's interior residual (fwd + transpose) and pad the
-    per-part packings to uniform [P, nb, cap] shapes (SPMD needs one static
-    program). Padded blocks/lanes carry segment id ``block`` (dropped) and
-    coefficient 0; the static gather-window width is the max over parts."""
+def _stack_blocked2d(fwd_resid, bwd_resid, block: int, blocked_blk: int) -> dict:
+    """2D-tile each part's interior residual (fwd + transpose, data/graph.py
+    _blocked2d_pack_arrays) and pad the per-part packings to uniform
+    [P, nb, nc, cap] shapes (SPMD needs one static program). Padded tiles/lanes
+    carry band-local segment id ``rbw`` (dropped) and coefficient 0; the static
+    window sizes (rbw, width) are maxima over parts and directions."""
     packs = []
     for triples in (fwd_resid, bwd_resid):
-        packs.append([_blocked_pack_arrays(r, c, w, block, blocked_blk)
+        packs.append([_blocked2d_pack_arrays(r, c, w, block, blocked_blk)
                       for (r, c, w) in triples])
     if any(p is None for pp in packs for p in pp):
         return {}
     nb = max(len(p[0]) for pp in packs for p in pp)
-    cap = max(p[1].shape[1] for pp in packs for p in pp)
-    width = max(p[4] for pp in packs for p in pp)
+    nc = max(p[1].shape[1] for pp in packs for p in pp)
+    cap = max(p[2].shape[2] for pp in packs for p in pp)
+    rbw = max(p[5] for pp in packs for p in pp)
+    width = max(p[6] for pp in packs for p in pp)
     out = {}
     for name, pp in (("i_blk", packs[0]), ("it_blk", packs[1])):
         P = len(pp)
-        starts = np.zeros((P, nb), dtype=np.int32)
-        rows = np.full((P, nb, cap), block, dtype=np.int32)
-        cols = np.zeros((P, nb, cap), dtype=np.int32)
-        coef = np.zeros((P, nb, cap), dtype=np.float32)
-        for p, (st, r, c, w, _) in enumerate(pp):
-            k, m = len(st), r.shape[1]
-            starts[p, :k] = st
-            rows[p, :k, :m] = r
-            cols[p, :k, :m] = c
-            coef[p, :k, :m] = w
-        out[f"{name}_starts"] = starts
+        rstarts = np.zeros((P, nb), dtype=np.int32)
+        cstarts = np.zeros((P, nb, nc), dtype=np.int32)
+        rows = np.full((P, nb, nc, cap), rbw, dtype=np.int32)
+        cols = np.zeros((P, nb, nc, cap), dtype=np.int32)
+        coef = np.zeros((P, nb, nc, cap), dtype=np.float32)
+        for p, (rst, cst, r, c, w, p_rbw, _) in enumerate(pp):
+            k, m, q = len(rst), cst.shape[1], r.shape[2]
+            rstarts[p, :k] = rst
+            cstarts[p, :k, :m] = cst
+            # per-part packs padded rows with their OWN rbw; remap to the max
+            r = np.where(r == p_rbw, rbw, r) if p_rbw != rbw else r
+            rows[p, :k, :m, :q] = r
+            cols[p, :k, :m, :q] = c
+            coef[p, :k, :m, :q] = w
+        out[f"{name}_rstarts"] = rstarts
+        out[f"{name}_cstarts"] = cstarts
         out[f"{name}_rows"] = rows
         out[f"{name}_cols"] = cols
         out[f"{name}_coef"] = coef
+    out["blk_rbw"] = int(rbw)
     out["blk_width"] = int(width)
     return out
 
@@ -319,7 +332,7 @@ def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
     # --- optional: column-blocked gather windows for the interior residual
     blk_kwargs: dict = {}
     if interior_tiles and block >= blocked_min_nodes:
-        blk_kwargs = _stack_blocked(fwd_resid, bwd_resid, block, blocked_blk)
+        blk_kwargs = _stack_blocked2d(fwd_resid, bwd_resid, block, blocked_blk)
 
     return PartitionedGraph(
         n_parts=n_parts, block=block, n_nodes=n, hmax=hmax, emax=emax,

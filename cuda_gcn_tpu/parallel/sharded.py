@@ -82,7 +82,7 @@ class ShardedInputs:
 
 def _index_rect(rg: RectGraph, i: int) -> RectGraph:
     """Select one part's slice from stacked [P, ...] leaves (covers the COO
-    fields and, when present, the tile arrays and BlockedCOODev residuals)."""
+    fields and, when present, the tile arrays and Blocked2DDev residuals)."""
     return jax.tree_util.tree_map(lambda a: a[i], rg)
 
 
@@ -232,14 +232,16 @@ def make_sharded_inputs(pg: PartitionedGraph, x: np.ndarray, mesh: Mesh) -> Shar
         tile_kw = dict(tiles=put(pg.i_tiles), tile_rows=put(pg.i_tile_rows),
                        tile_cols=put(pg.i_tile_cols), tb=pg.tb, nblocks=pg.i_nblocks)
     if pg.i_blk_rows is not None:
-        from cuda_gcn_tpu.data.graph import BlockedCOODev
+        from cuda_gcn_tpu.data.graph import Blocked2DDev
 
-        tile_kw["blk_fwd"] = BlockedCOODev(
-            starts=put(pg.i_blk_starts), rows=put(pg.i_blk_rows),
-            cols=put(pg.i_blk_cols), coef=put(pg.i_blk_coef), width=pg.blk_width)
-        tile_kw["blk_bwd"] = BlockedCOODev(
-            starts=put(pg.it_blk_starts), rows=put(pg.it_blk_rows),
-            cols=put(pg.it_blk_cols), coef=put(pg.it_blk_coef), width=pg.blk_width)
+        tile_kw["blk_fwd"] = Blocked2DDev(
+            rstarts=put(pg.i_blk_rstarts), cstarts=put(pg.i_blk_cstarts),
+            rows=put(pg.i_blk_rows), cols=put(pg.i_blk_cols),
+            coef=put(pg.i_blk_coef), rbw=pg.blk_rbw, width=pg.blk_width)
+        tile_kw["blk_bwd"] = Blocked2DDev(
+            rstarts=put(pg.it_blk_rstarts), cstarts=put(pg.it_blk_cstarts),
+            rows=put(pg.it_blk_rows), cols=put(pg.it_blk_cols),
+            coef=put(pg.it_blk_coef), rbw=pg.blk_rbw, width=pg.blk_width)
     interior = RectGraph(
         rows=put(pg.i_src), cols=put(pg.i_dst), coef=put(pg.i_coef),
         t_rows=put(pg.it_src), t_cols=put(pg.it_dst), t_coef=put(pg.it_coef),

@@ -51,6 +51,6 @@ bsr, keep = phase("select_bsr_tiles", lambda: G._select_bsr_tiles(
 rsrc, rdst, rcoef = phase("residual mask", lambda: (src[keep], dst[keep], coef[keep]))
 print(f"tiles={bsr[0].shape} residual={len(rsrc)}", flush=True)
 tr = phase("transpose_coo", lambda: G._transpose_coo(rsrc, rdst, rcoef))
-blk_f = phase("blocked_pack fwd", lambda: G._blocked_pack(rsrc, rdst, rcoef, n, G.BLOCKED_RESID_TARGET_BLK))
-blk_b = phase("blocked_pack bwd", lambda: G._blocked_pack(tr[0], tr[1], tr[2], n, G.BLOCKED_RESID_TARGET_BLK))
+blk_f = phase("blocked_pack fwd", lambda: G._blocked2d_pack(rsrc, rdst, rcoef, n, G.BLOCKED_RESID_TARGET_BLK))
+blk_b = phase("blocked_pack bwd", lambda: G._blocked2d_pack(tr[0], tr[1], tr[2], n, G.BLOCKED_RESID_TARGET_BLK))
 print("done (host phases only; device transfer not timed)", flush=True)

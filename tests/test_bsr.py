@@ -118,7 +118,8 @@ def test_blocked_residual_matches_oracle(clustered):
     ds, h = clustered
     g = bsr_graph(ds.graph, bsr_min_edges=64, blocked_blk=32, blocked_min_nodes=0)
     assert g.blk_fwd is not None and g.blk_bwd is not None
-    assert g.blk_fwd.rows.shape[0] > 1  # actually multi-block
+    assert g.blk_fwd.rows.shape[0] > 1  # multiple row bands
+    assert g.blk_fwd.rows.shape[1] > 1  # multiple column windows per band
     expected = oracle.graphsum_forward(ds.graph.indptr, ds.graph.indices,
                                        h.astype(np.float64))
     got = np.asarray(graphsum(jnp.asarray(h), g))
@@ -155,20 +156,21 @@ def test_tile_einsum_chunked_matches_unchunked(clustered, monkeypatch):
 
 
 def test_blocked_pack_covers_all_edges(clustered):
-    """Every residual edge appears exactly once across the blocks; padding is
-    confined to coef==0 lanes with row id n."""
+    """Every residual edge appears exactly once across the 2D tiles; padding is
+    confined to coef==0 lanes with band-local row id rbw."""
     ds, _ = clustered
     g = bsr_graph(ds.graph, bsr_min_edges=64, blocked_blk=32, blocked_min_nodes=0)
-    n = ds.num_nodes
     bc = g.blk_fwd
-    starts = np.asarray(bc.starts)
+    rstarts = np.asarray(bc.rstarts)
+    cstarts = np.asarray(bc.cstarts)
     rows = np.asarray(bc.rows)
     cols = np.asarray(bc.cols)
     coef = np.asarray(bc.coef)
-    real = rows != n
+    real = rows != bc.rbw
     # reconstruct global (row, col, coef) triples and compare to the flat COO
-    gcols = (cols + starts[:, None])[real]
-    triples = sorted(zip(rows[real].tolist(), gcols.tolist(), coef[real].tolist()))
+    grows = (rows + rstarts[:, None, None])[real]
+    gcols = (cols + cstarts[:, :, None])[real]
+    triples = sorted(zip(grows.tolist(), gcols.tolist(), coef[real].tolist()))
     flat = sorted(zip(np.asarray(g.src).tolist(), np.asarray(g.dst).tolist(),
                       np.asarray(g.coef).tolist()))
     assert triples == flat

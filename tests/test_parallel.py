@@ -74,7 +74,7 @@ def test_sharded_tiled_interior_matches_single(tiny_dataset):
     """The accelerated interior (dense MXU tiles + column-blocked residual
     windows) must agree with the single-device forward AND produce the same
     gradients (exercises _rect_tile_apply fwd + transpose and the stacked
-    BlockedCOODev path)."""
+    Blocked2DDev path)."""
     ds = tiny_dataset
     mesh2 = sharded.make_mesh(2)
     cfg = ds.apply_config(GCNConfig(hidden_dim=8))
