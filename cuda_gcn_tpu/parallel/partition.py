@@ -10,14 +10,17 @@ need that device's activations — the *halo*. We precompute, entirely on host:
 * per-part local COO (row ids rebased into the block, padded to a uniform Emax)
   plus its transpose, both sorted, so aggregation stays sorted-segment-sum on
   every device (no unsorted scatter in the hot path);
-* per-(sender, receiver) send lists: the block-local rows each peer needs,
-  padded to a uniform Hmax → a single static-shape ``all_to_all`` per layer;
+* offset-bucketed send lists: the exchange runs as P-1 static-shape
+  ``ppermute`` rounds (ring offset k ships q -> (q+k)%P); each round's buffer
+  is sized to the max need AT THAT OFFSET, so total comm volume tracks the
+  actual boundary structure instead of the global worst (p, q) pair;
 * destination remapping into the local index space
-  ``[own block (B) | halo buffer (P·Hmax)]``.
+  ``[own block (B) | halo buffer (sum_k hmax_k)]``.
 
 All shapes are uniform across parts (SPMD requires one static program), padded
 with coefficient-0 edges pointing at the last segment id (keeps segment ids
-sorted) and send-list slot 0.
+sorted) and send-list slot 0. The construction is one owner-sort pass over the
+edges (src is CSR-sorted already) — no per-(p, q) full-edge scans.
 """
 
 from __future__ import annotations
@@ -40,18 +43,23 @@ class PartitionedGraph:
     n_parts: int
     block: int              # B = owned nodes per part (padded)
     n_nodes: int            # original (unpadded) node count
-    hmax: int               # halo slots per peer
     emax: int               # edges per part (padded)
-    # local COO per part, sorted by src; src in [0,B), dst in [0, B+P*hmax)
+    # local COO per part, sorted by src; src in [0,B), dst in [0, B+halo_space)
     src: np.ndarray         # [P, Emax] int32
     dst: np.ndarray         # [P, Emax] int32
     coef: np.ndarray        # [P, Emax] float32
-    # local transpose COO per part, sorted by t_src; t_src in [0, B+P*hmax)
+    # local transpose COO per part, sorted by t_src; t_src in [0, B+halo_space)
     t_src: np.ndarray       # [P, Emax] int32
     t_dst: np.ndarray       # [P, Emax] int32
     t_coef: np.ndarray      # [P, Emax] float32
-    # send_idx[p, r, :] = block-local row ids device p sends to device r
-    send_idx: np.ndarray    # [P, P, Hmax] int32
+    # Offset-bucketed halo exchange (P-1 ppermute rounds): send_secs[k-1][q]
+    # = block-local row ids device q ships to (q+k)%P in round k, padded to
+    # the per-offset max hmax_k[k-1]; receiver p's halo buffer is the
+    # concatenation of sections, section k starting at off_start[k-1].
+    send_secs: list = None        # list of [P, hmax_k] int32
+    hmax_k: tuple = ()            # per-offset halo slots
+    off_start: np.ndarray = None  # (P,) int64 section starts (cumsum of hmax_k)
+    halo_space: int = 1           # total halo rows per device (>= 1)
     # --- split view of the same edges, enabling comm/compute overlap:
     # interior edges (dst in own block), rows+cols in [0, B)
     i_src: np.ndarray = None    # [P, Eimax] int32 sorted
@@ -96,7 +104,7 @@ class PartitionedGraph:
     @property
     def n_local(self) -> int:
         """Size of each device's concatenated [own | halo] activation buffer."""
-        return self.block + self.n_parts * self.hmax
+        return self.block + self.halo_space
 
     @property
     def padded_nodes(self) -> int:
@@ -178,29 +186,51 @@ def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
     dst = indices
 
     block = -(-n // n_parts)  # ceil
-    owner_of = lambda node: node // block  # noqa: E731
 
-    # --- halo needs: for each (p, q!=p), unique dst in q's block referenced by p's edges
-    e_owner = owner_of(src)
-    d_owner = owner_of(dst)
+    # --- halo needs, ONE owner-sort pass: src is CSR-sorted so each part's
+    # edges are a contiguous slice (no O(P^2) full-edge boolean scans — the
+    # round-1 partitioner rescanned all edges per (p, q) pair); per part, one
+    # unique over (dst_owner, dst) yields every peer's needed list at once.
+    d_owner = dst // block
+    band_st = np.searchsorted(src, np.arange(n_parts, dtype=np.int64) * block)
+    band_en = np.append(band_st[1:], len(src))
     needed: dict[tuple[int, int], np.ndarray] = {}
     for p in range(n_parts):
-        for q in range(n_parts):
-            if p == q:
-                continue
-            sel = (e_owner == p) & (d_owner == q)
-            needed[(p, q)] = np.unique(dst[sel])
-    hmax = max((len(v) for v in needed.values()), default=0)
-    hmax = max(hmax, 1)  # keep shapes nonzero
+        sl = slice(int(band_st[p]), int(band_en[p]))
+        do_p, d_p = d_owner[sl], dst[sl]
+        mask = do_p != p
+        if mask.any():
+            enc = np.unique(do_p[mask] * np.int64(n + 1) + d_p[mask])
+            owners = enc // (n + 1)
+            dsts = enc % (n + 1)
+            st = np.searchsorted(owners, np.arange(n_parts + 1))
+            for q in range(n_parts):
+                if st[q + 1] > st[q]:
+                    needed[(p, q)] = dsts[st[q]:st[q + 1]]
 
-    # --- send lists: send_idx[q, p] = block-local ids q must send to p
-    send_idx = np.zeros((n_parts, n_parts, hmax), dtype=np.int32)
-    for (p, q), ids in needed.items():
-        send_idx[q, p, : len(ids)] = (ids - q * block).astype(np.int32)
+    # --- offset-bucketed halo sections: the exchange runs as P-1 ppermute
+    # rounds; in round k device q ships rows to (q + k) % P. Each section is
+    # sized to the max need over receivers AT THAT OFFSET, so total all-to-all
+    # volume tracks per-offset structure instead of the single worst (p, q)
+    # pair (round-1 weakness: one hub-heavy pair inflated every peer's send).
+    hmax_k = tuple(
+        max(max((len(needed.get((p, (p - k) % n_parts), ()))
+                 for p in range(n_parts)), default=0), 1)
+        for k in range(1, n_parts))
+    off_start = np.concatenate([[0], np.cumsum(hmax_k, dtype=np.int64)])
+    halo_space = max(int(off_start[-1]), 1)
+    send_secs = []
+    for k in range(1, n_parts):
+        sec = np.zeros((n_parts, hmax_k[k - 1]), dtype=np.int32)
+        for q in range(n_parts):
+            ids = needed.get(((q + k) % n_parts, q))  # q sends to q + k
+            if ids is not None:
+                sec[q, : len(ids)] = (ids - q * block).astype(np.int32)
+        send_secs.append(sec)
 
     # --- per-part local edge lists with halo-remapped dst
-    n_local = block + n_parts * hmax
-    counts = np.bincount(e_owner, minlength=n_parts)
+    n_local = block + halo_space
+    counts = band_en - band_st
     emax = max(int(counts.max()), 1)
 
     src_l = np.full((n_parts, emax), block - 1, dtype=np.int32)
@@ -211,23 +241,21 @@ def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
     t_coef_l = np.zeros((n_parts, emax), dtype=np.float32)
 
     for p in range(n_parts):
-        sel = e_owner == p
-        s = (src[sel] - p * block).astype(np.int32)
-        d_glob = dst[sel]
-        c = coef[sel]
-        d_own = d_glob // block
-        # local id: own block rows directly; halo rows via position in needed[(p,q)]
+        sl = slice(int(band_st[p]), int(band_en[p]))
+        s = (src[sl] - p * block).astype(np.int32)
+        d_glob = dst[sl]
+        c = coef[sl]
+        d_own = d_owner[sl]
+        # local id: own block rows directly; halo rows land in their sender's
+        # ring-offset section at their position in needed[(p, q)]
         d_loc = np.empty(len(d_glob), dtype=np.int32)
         own = d_own == p
         d_loc[own] = (d_glob[own] - p * block).astype(np.int32)
-        for q in range(n_parts):
-            if q == p:
-                continue
+        for q in np.unique(d_own[~own]):
             m = d_own == q
-            if not m.any():
-                continue
+            k_off = (p - q) % n_parts
             pos = np.searchsorted(needed[(p, q)], d_glob[m])
-            d_loc[m] = (block + q * hmax + pos).astype(np.int32)
+            d_loc[m] = (block + off_start[k_off - 1] + pos).astype(np.int32)
         k = len(s)
         src_l[p, :k], dst_l[p, :k], coef_l[p, :k] = s, d_loc, c  # already src-sorted (CSR order)
         # transpose: rows = local dst ids, sorted
@@ -237,7 +265,6 @@ def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
         t_coef_l[p, :k] = c[perm]
 
     # --- split interior/boundary edge lists (for the overlapped halo layer)
-    halo_space = n_parts * hmax
     int_counts = np.zeros(n_parts, dtype=np.int64)
     bnd_counts = np.zeros(n_parts, dtype=np.int64)
     per_part = []
@@ -335,10 +362,12 @@ def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
         blk_kwargs = _stack_blocked2d(fwd_resid, bwd_resid, block, blocked_blk)
 
     return PartitionedGraph(
-        n_parts=n_parts, block=block, n_nodes=n, hmax=hmax, emax=emax,
+        n_parts=n_parts, block=block, n_nodes=n, emax=emax,
+        hmax_k=hmax_k, off_start=off_start.astype(np.int64),
+        halo_space=halo_space,
         src=src_l, dst=dst_l, coef=coef_l,
         t_src=t_src_l, t_dst=t_dst_l, t_coef=t_coef_l,
-        send_idx=send_idx,
+        send_secs=send_secs,
         i_src=i_src, i_dst=i_dst, i_coef=i_coef,
         it_src=it_src, it_dst=it_dst, it_coef=it_coef,
         b_src=b_src, b_dst=b_dst, b_coef=b_coef,

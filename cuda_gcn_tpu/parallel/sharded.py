@@ -6,18 +6,19 @@ CUDA grids on one GPU, SURVEY.md §2.4). Design:
 * 1-D mesh axis ``'graph'``: node blocks (data/sequence-parallel analog). Each
   device owns a [B, d] slab of activations and its block's edges
   (see parallel/partition.py).
-* Per GCN layer: (1) gather the rows each peer needs, (2) one static-shape
-  ``all_to_all`` over ICI exchanges boundary features, (3) sorted-segment
-  aggregation over local edges whose destinations index the concatenated
-  ``[own | halo]`` buffer. XLA overlaps the collective with the independent
-  dense matmul / local compute where the dependence structure allows.
+* Per GCN layer: (1) gather the rows each peer needs, (2) P-1 static-shape
+  ``ppermute`` rounds over ICI exchange boundary features (each ring offset's
+  buffer sized to that offset's max need — volume tracks actual boundary
+  structure), (3) sorted-segment aggregation over local edges whose
+  destinations index the concatenated ``[own | halo]`` buffer. XLA overlaps
+  the collectives with the independent dense matmul / local compute.
 * Weights are replicated (they are tiny: F×16, 16×C); their gradients emerge
   correctly via shard_map's replication rules when ``jax.grad`` is taken
   *outside* the shard_mapped loss. The loss itself reduces with ``psum`` so the
   returned scalar is replicated.
 * Backward: the local aggregation reverses through the precomputed local
-  transpose (sorted), the ``all_to_all`` transposes to the opposite
-  ``all_to_all``, and the send-gather transposes to a small scatter-add over
+  transpose (sorted), each ``ppermute`` transposes to the inverse-offset
+  ``ppermute``, and the send-gather transposes to a small scatter-add over
   halo rows only — all derived by autodiff, no hand-written backward pass.
 
 This module is exercised on an 8-device virtual CPU mesh in tests and by
@@ -65,19 +66,18 @@ class ShardedInputs:
 
     interior: RectGraph    # leaves [P, Eimax]
     boundary: RectGraph    # leaves [P, Ebmax]
-    send_idx: jnp.ndarray  # [P, P, Hmax]
+    send_secs: tuple       # P-1 arrays [P, hmax_k]: round-k ship lists
     x: jnp.ndarray         # [P*B, F]
     block: int
-    hmax: int
     n_local: int
 
     def tree_flatten(self):
-        return ((self.interior, self.boundary, self.send_idx, self.x),
-                (self.block, self.hmax, self.n_local))
+        return ((self.interior, self.boundary, self.send_secs, self.x),
+                (self.block, self.n_local))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, block=aux[0], hmax=aux[1], n_local=aux[2])
+        return cls(*leaves, block=aux[0], n_local=aux[1])
 
 
 def _index_rect(rg: RectGraph, i: int) -> RectGraph:
@@ -87,21 +87,28 @@ def _index_rect(rg: RectGraph, i: int) -> RectGraph:
 
 
 def halo_graphsum(own_h: jnp.ndarray, interior: RectGraph, boundary: RectGraph,
-                  send_idx: jnp.ndarray, block: int, hmax: int) -> jnp.ndarray:
+                  send_secs, block: int) -> jnp.ndarray:
     """One sharded aggregation: exchange halo rows while aggregating interior
     edges, then add the boundary contribution.
 
-    own_h: [B, d] this device's activation slab. send_idx: [P, Hmax] block-local
-    rows to ship to each peer. Returns [B, d] aggregated rows for owned nodes.
-    The interior rect_graphsum does not depend on the all_to_all result, so XLA
-    can run the collective and the interior aggregation concurrently.
+    own_h: [B, d] this device's activation slab. send_secs: P-1 ship lists
+    [hmax_k] of block-local rows, one per ring offset — round k ppermutes
+    q -> (q+k)%P, so each round's volume is the per-offset max need rather
+    than the global worst pair. Returns [B, d] aggregated rows for owned
+    nodes. The interior rect_graphsum does not depend on any collective
+    result, so XLA can run the rounds and the interior work concurrently.
     """
     p = jax.lax.axis_size(GRAPH_AXIS)
     d = own_h.shape[1]
-    send = own_h[send_idx.reshape(-1)].reshape(p, hmax, d)
-    recv = jax.lax.all_to_all(send, GRAPH_AXIS, split_axis=0, concat_axis=0)
-    interior_out = rect_graphsum(own_h, interior)              # overlaps the a2a
-    halo_out = rect_graphsum(recv.reshape(p * hmax, d), boundary)
+    parts = []
+    for k, sidx in enumerate(send_secs, start=1):
+        send = own_h[sidx]
+        perm = [(q, (q + k) % p) for q in range(p)]
+        parts.append(jax.lax.ppermute(send, GRAPH_AXIS, perm))
+    halo = (jnp.concatenate(parts, axis=0) if parts
+            else jnp.zeros((boundary.n_in, d), own_h.dtype))
+    interior_out = rect_graphsum(own_h, interior)       # overlaps the rounds
+    halo_out = rect_graphsum(halo, boundary)
     return interior_out + halo_out
 
 
@@ -113,7 +120,7 @@ def _per_device_forward(params, inputs: ShardedInputs, key, dropout_rate, traini
     """
     interior = _index_rect(inputs.interior, 0)
     boundary = _index_rect(inputs.boundary, 0)
-    send_idx = inputs.send_idx[0]
+    send_secs = tuple(sec[0] for sec in inputs.send_secs)
 
     n_layers = len(params)
     if training and key is not None:
@@ -127,7 +134,7 @@ def _per_device_forward(params, inputs: ShardedInputs, key, dropout_rate, traini
     for i in range(n_layers):
         h = dropout(h, dropout_rate, keys[i], training)
         h = jnp.dot(h, params[f"w{i + 1}"], preferred_element_type=jnp.float32).astype(h.dtype)
-        h = halo_graphsum(h, interior, boundary, send_idx, inputs.block, inputs.hmax)
+        h = halo_graphsum(h, interior, boundary, send_secs, inputs.block)
         if i < n_layers - 1:
             h = jnp.maximum(h, 0.0)
     return h  # [B, C] local logits
@@ -164,7 +171,7 @@ def _per_device_pair(params, inputs: ShardedInputs, key, dropout_rate):
     version of gcn.apply_pair — also halves the all_to_all count per epoch)."""
     interior = _index_rect(inputs.interior, 0)
     boundary = _index_rect(inputs.boundary, 0)
-    send_idx = inputs.send_idx[0]
+    send_secs = tuple(sec[0] for sec in inputs.send_secs)
 
     n_layers = len(params)
     key = jax.random.fold_in(key, jax.lax.axis_index(GRAPH_AXIS))
@@ -178,7 +185,7 @@ def _per_device_pair(params, inputs: ShardedInputs, key, dropout_rate):
                      preferred_element_type=jnp.float32).astype(ht.dtype)
         ze = jnp.dot(he, w, preferred_element_type=jnp.float32).astype(he.dtype)
         both = halo_graphsum(jnp.concatenate([zt, ze], axis=1), interior, boundary,
-                             send_idx, inputs.block, inputs.hmax)
+                             send_secs, inputs.block)
         ht, he = both[:, :d], both[:, d:]
         if i < n_layers - 1:
             ht = jnp.maximum(ht, 0.0)
@@ -201,8 +208,8 @@ def _spec_inputs_of(inputs: ShardedInputs) -> ShardedInputs:
 
     return ShardedInputs(
         interior=rect_spec(inputs.interior), boundary=rect_spec(inputs.boundary),
-        send_idx=P(GRAPH_AXIS), x=P(GRAPH_AXIS),
-        block=inputs.block, hmax=inputs.hmax, n_local=inputs.n_local)
+        send_secs=tuple(P(GRAPH_AXIS) for _ in inputs.send_secs),
+        x=P(GRAPH_AXIS), block=inputs.block, n_local=inputs.n_local)
 
 
 def sharded_loss_fn(mesh: Mesh, params, inputs: ShardedInputs, truth, key,
@@ -249,11 +256,12 @@ def make_sharded_inputs(pg: PartitionedGraph, x: np.ndarray, mesh: Mesh) -> Shar
     boundary = RectGraph(
         rows=put(pg.b_src), cols=put(pg.b_dst), coef=put(pg.b_coef),
         t_rows=put(pg.bt_src), t_cols=put(pg.bt_dst), t_coef=put(pg.bt_coef),
-        n_out=pg.block, n_in=pg.n_parts * pg.hmax)
+        n_out=pg.block, n_in=pg.halo_space)
     return ShardedInputs(
         interior=interior, boundary=boundary,
-        send_idx=put(pg.send_idx), x=put(pg.pad_nodes(x)),
-        block=pg.block, hmax=pg.hmax, n_local=pg.n_local)
+        send_secs=tuple(put(sec) for sec in pg.send_secs),
+        x=put(pg.pad_nodes(x)),
+        block=pg.block, n_local=pg.n_local)
 
 
 def make_sharded_train_step(mesh: Mesh, cfg: GCNConfig):

@@ -39,9 +39,13 @@ def test_partition_covers_all_edges(tiny_dataset):
             if dloc < pg.block:
                 gdst = dloc + p * pg.block
             else:
-                q, pos = divmod(dloc - pg.block, pg.hmax)
-                # recover from send structure: q sent its send_idx[q, p, pos] row
-                gdst = pg.send_idx[q, p, pos] + q * pg.block
+                # recover from the offset-section send structure: section k
+                # holds rows shipped by sender q = (p - k) % P in round k
+                off = dloc - pg.block
+                k = int(np.searchsorted(pg.off_start, off, side="right"))
+                pos = off - pg.off_start[k - 1]
+                q = (p - k) % pg.n_parts
+                gdst = pg.send_secs[k - 1][q, pos] + q * pg.block
             got.add((int(gsrc), int(gdst)))
     expected = set()
     for i in range(ds.num_nodes):
