@@ -132,25 +132,33 @@ def _tile_contract(tiles, rows, cols, hT, t_blocks, transpose):
         return jax.ops.segment_sum(prod, rows, num_segments=t_blocks,
                                    indices_are_sorted=not transpose)
     d, _, tb = hT.shape
-    nch = -(-k // _TILE_EINSUM_CHUNK)
-    pad = nch * _TILE_EINSUM_CHUNK - k
-    tiles_c = jnp.pad(tiles, ((0, pad), (0, 0), (0, 0))).reshape(
-        nch, _TILE_EINSUM_CHUNK, tb, tb)
-    rows_c = jnp.pad(rows, (0, pad), constant_values=t_blocks).reshape(
-        nch, _TILE_EINSUM_CHUNK)  # pad tiles land in segment T, sliced off
-    cols_c = jnp.pad(cols, (0, pad)).reshape(nch, _TILE_EINSUM_CHUNK)
+    # NO padded copy of the tile array: at 4x-reddit scale the tiles are >11 GB
+    # and jnp.pad would materialize a second full copy as an HLO temp (measured
+    # OOM: 23.7 G demand on a 15.75 G chip). Full chunks reshape a contiguous
+    # leading-dim slice (layout-compatible -> bitcast); the tail runs as one
+    # smaller einsum.
+    nch = k // _TILE_EINSUM_CHUNK
+    head = nch * _TILE_EINSUM_CHUNK
 
-    def step(acc, xs):
-        t, r, c = xs
-        hbT = hT[:, c]
-        prod = jnp.einsum(spec, t, hbT, preferred_element_type=jnp.float32)
-        part = jax.ops.segment_sum(prod, r, num_segments=t_blocks + 1,
+    def contract(t, r, c):
+        prod = jnp.einsum(spec, t, hT[:, c], preferred_element_type=jnp.float32)
+        return jax.ops.segment_sum(prod, r, num_segments=t_blocks,
                                    indices_are_sorted=not transpose)
-        return acc + part[:t_blocks], None
 
-    zero = (rows_c[0, 0] * 0).astype(jnp.float32)  # varying-aware zero (cf. _blocked2d_apply)
-    acc, _ = jax.lax.scan(step, jnp.zeros((t_blocks, d, tb), jnp.float32) + zero,
-                          (tiles_c, rows_c, cols_c))
+    zero = (rows[0] * 0).astype(jnp.float32)  # varying-aware zero (cf. _blocked2d_apply)
+    acc = jnp.zeros((t_blocks, d, tb), jnp.float32) + zero
+    if nch:
+        tiles_c = tiles[:head].reshape(nch, _TILE_EINSUM_CHUNK, tb, tb)
+        rows_c = rows[:head].reshape(nch, _TILE_EINSUM_CHUNK)
+        cols_c = cols[:head].reshape(nch, _TILE_EINSUM_CHUNK)
+
+        def step(acc, xs):
+            t, r, c = xs
+            return acc + contract(t, r, c), None
+
+        acc, _ = jax.lax.scan(step, acc, (tiles_c, rows_c, cols_c))
+    if k > head:
+        acc = acc + contract(tiles[head:], rows[head:], cols[head:])
     return acc
 
 

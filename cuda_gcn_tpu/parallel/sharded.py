@@ -361,8 +361,11 @@ def make_sharded_eval_step(mesh: Mesh, cfg: GCNConfig):
     return step
 
 
-def prepare_sharded(cfg: GCNConfig, dataset: GCNDataset, mesh: Mesh):
+def prepare_sharded(cfg: GCNConfig, dataset: GCNDataset, mesh: Mesh,
+                    **partition_kwargs):
     """Partition + device-put a dataset for the mesh. Returns (cfg, inputs, truths).
+    Extra keyword arguments are forwarded to ``partition_graph`` (tile size,
+    blocked-residual thresholds, budgets).
 
     Unless ``cfg.reorder == 'none'``, the dataset is first relabeled with the
     LPA locality permutation (data/reorder.py) so communities land inside
@@ -382,7 +385,8 @@ def prepare_sharded(cfg: GCNConfig, dataset: GCNDataset, mesh: Mesh):
     interior_tiles = (cfg.graphsum_backend == "bsr"
                       or (cfg.graphsum_backend == "auto"
                           and block > DENSE_BACKEND_MAX_NODES))
-    pg = partition_graph(dataset.graph, n_parts, interior_tiles=interior_tiles)
+    pg = partition_graph(dataset.graph, n_parts, interior_tiles=interior_tiles,
+                         **partition_kwargs)
     x = dataset.dense_features(np.dtype(cfg.compute_dtype))
     inputs = make_sharded_inputs(pg, x, mesh)
     sh = NamedSharding(mesh, P(GRAPH_AXIS))

@@ -34,6 +34,8 @@ def main() -> int:
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--interior", default="auto", choices=["auto", "segment"],
                     help="interior aggregation: auto (tiles+blocked for large blocks) or plain sorted-segment")
+    ap.add_argument("--out", default=None, metavar="PATH",
+                    help="also write the JSON result to PATH (committed artifact)")
     args = ap.parse_args()
 
     import jax
@@ -63,7 +65,27 @@ def main() -> int:
             print(f"skip P={p}: only {jax.device_count()} devices", file=sys.stderr)
             continue
         pg = partition_graph(ds.graph, p)
-        boundary_frac = float(np.sum(pg.b_coef > 0) / max(nnz, 1))
+        # --- partition-quality stats (VERDICT round-1 item 4): per-part halo
+        # fraction, padded-vs-actual send volume (hmax blow-up), edge balance
+        real_edges = (pg.coef > 0).sum(axis=1)          # [P]
+        bnd_edges = (pg.b_coef > 0).sum(axis=1)         # [P]
+        boundary_frac = float(bnd_edges.sum() / max(nnz, 1))
+        # true halo rows used: unique halo-buffer columns touched by real
+        # boundary edges, per receiving part
+        actual_rows = sum(
+            len(np.unique(pg.b_dst[q][pg.b_coef[q] > 0]))
+            for q in range(pg.n_parts))
+        padded_rows = sum(int(sec.size) for sec in pg.send_secs)
+        stats = dict(
+            block=pg.block,
+            halo_space=pg.halo_space,
+            hmax_k=[int(h) for h in pg.hmax_k],
+            send_rows_padded=padded_rows,
+            send_pad_overhead=round(padded_rows / max(actual_rows, 1), 3),
+            edge_balance=round(float(real_edges.max() / max(real_edges.mean(), 1)), 3),
+            per_part_boundary_frac=[round(float(b / max(t, 1)), 4)
+                                    for b, t in zip(bnd_edges, real_edges)],
+        )
         mesh = sharded.make_mesh(p)
         cfg = GCNConfig(epochs=args.epochs, seed=0, reorder="none",
                         graphsum_backend="segment" if args.interior == "segment" else "auto")
@@ -82,16 +104,24 @@ def main() -> int:
         eps = nnz * passes / dt
         results.append(dict(parts=p, seconds=round(dt, 4),
                             edges_per_s=round(eps),
-                            boundary_fraction=round(boundary_frac, 4)))
+                            boundary_fraction=round(boundary_frac, 4),
+                            partition=stats))
         print(f"P={p}: {dt:.3f}s  {eps:,.0f} edge-passes/s  "
-              f"boundary={boundary_frac * 100:.1f}%", file=sys.stderr, flush=True)
+              f"boundary={boundary_frac * 100:.1f}%  "
+              f"pad_overhead={stats['send_pad_overhead']}x  "
+              f"balance={stats['edge_balance']}", file=sys.stderr, flush=True)
 
     if results:
         base = results[0]["edges_per_s"] / results[0]["parts"]
         for r in results:
             r["scaling_efficiency"] = round(r["edges_per_s"] / (base * r["parts"]), 3)
-    print(json.dumps({"dataset": name, "epochs": args.epochs,
-                      "platform": jax.devices()[0].platform, "results": results}))
+    payload = {"dataset": name, "epochs": args.epochs,
+               "platform": jax.devices()[0].platform,
+               "n_nodes": ds.num_nodes, "nnz": nnz, "results": results}
+    print(json.dumps(payload))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(payload, fh, indent=1)
     return 0
 
 

@@ -48,7 +48,10 @@ def main():
 
     t0 = time.perf_counter()
     bkw = dict(blocked_min_nodes=1 << 62) if args.no_blocked else {}
-    g = build_graph(ds.graph, backend="bsr", **bkw)
+    # declare the dense feature matrix to the tile-budget model, like
+    # train.prepare does — otherwise tiles overcommit the HBM the features need
+    feat_bytes = n * (-(-cfg.input_dim // 128) * 128) * 4
+    g = build_graph(ds.graph, backend="bsr", aux_bytes=feat_bytes, **bkw)
     print(f"build_graph(bsr){' flat-resid' if args.no_blocked else ''}: "
           f"{time.perf_counter() - t0:.1f}s", flush=True)
     k = int(g.bsr_tiles.shape[0])
