@@ -148,15 +148,21 @@ def _tile_contract(tiles, rows, cols, hT, t_blocks, transpose):
     zero = (rows[0] * 0).astype(jnp.float32)  # varying-aware zero (cf. _blocked2d_apply)
     acc = jnp.zeros((t_blocks, d, tb), jnp.float32) + zero
     if nch:
-        tiles_c = tiles[:head].reshape(nch, _TILE_EINSUM_CHUNK, tb, tb)
-        rows_c = rows[:head].reshape(nch, _TILE_EINSUM_CHUNK)
-        cols_c = cols[:head].reshape(nch, _TILE_EINSUM_CHUNK)
-
-        def step(acc, xs):
-            t, r, c = xs
+        # read each chunk with dynamic_slice INSIDE the scan body: a scanned-xs
+        # formulation needs a [nch, CHUNK, ...] operand, and XLA materializes
+        # both jnp.pad and even a zero-offset slice of the tile array as a
+        # full-size HLO temp (measured 8-11 GB at 4x-reddit, OOM); per-step
+        # dynamic slices bound the temp to one ~1 GB chunk
+        def step(acc, i):
+            t = jax.lax.dynamic_slice_in_dim(tiles, i * _TILE_EINSUM_CHUNK,
+                                             _TILE_EINSUM_CHUNK)
+            r = jax.lax.dynamic_slice_in_dim(rows, i * _TILE_EINSUM_CHUNK,
+                                             _TILE_EINSUM_CHUNK)
+            c = jax.lax.dynamic_slice_in_dim(cols, i * _TILE_EINSUM_CHUNK,
+                                             _TILE_EINSUM_CHUNK)
             return acc + contract(t, r, c), None
 
-        acc, _ = jax.lax.scan(step, acc, (tiles_c, rows_c, cols_c))
+        acc, _ = jax.lax.scan(step, acc, jnp.arange(nch))
     if k > head:
         acc = acc + contract(tiles[head:], rows[head:], cols[head:])
     return acc

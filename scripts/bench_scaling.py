@@ -36,6 +36,10 @@ def main() -> int:
                     help="interior aggregation: auto (tiles+blocked for large blocks) or plain sorted-segment")
     ap.add_argument("--out", default=None, metavar="PATH",
                     help="also write the JSON result to PATH (committed artifact)")
+    ap.add_argument("--stats-only", action="store_true",
+                    help="partition-quality stats only (no training) — the "
+                         "useful output on a virtual mesh, where wall-clock is "
+                         "not a chip number anyway")
     args = ap.parse_args()
 
     import jax
@@ -86,6 +90,13 @@ def main() -> int:
             per_part_boundary_frac=[round(float(b / max(t, 1)), 4)
                                     for b, t in zip(bnd_edges, real_edges)],
         )
+        if args.stats_only:
+            results.append(dict(parts=p, boundary_fraction=round(boundary_frac, 4),
+                                partition=stats))
+            print(f"P={p}: boundary={boundary_frac * 100:.1f}%  "
+                  f"pad_overhead={stats['send_pad_overhead']}x  "
+                  f"balance={stats['edge_balance']}", file=sys.stderr, flush=True)
+            continue
         mesh = sharded.make_mesh(p)
         cfg = GCNConfig(epochs=args.epochs, seed=0, reorder="none",
                         graphsum_backend="segment" if args.interior == "segment" else "auto")
@@ -111,7 +122,7 @@ def main() -> int:
               f"pad_overhead={stats['send_pad_overhead']}x  "
               f"balance={stats['edge_balance']}", file=sys.stderr, flush=True)
 
-    if results:
+    if results and "edges_per_s" in results[0]:
         base = results[0]["edges_per_s"] / results[0]["parts"]
         for r in results:
             r["scaling_efficiency"] = round(r["edges_per_s"] / (base * r["parts"]), 3)
