@@ -191,7 +191,7 @@ def _bsr_apply(h, graph: Graph, transpose: bool):
     dense_part = outb.transpose(1, 0, 2).reshape(d, t_blocks * tb)[:, :n].T.astype(h.dtype)
     blk = graph.blk_bwd if transpose else graph.blk_fwd
     ell = graph.ell_bwd if transpose else graph.ell_fwd
-    if blk is not None:  # column-blocked gather windows (large graphs)
+    if blk is not None:  # 2D-tiled streaming residual (large graphs)
         resid = _blocked2d_apply(h, blk, n)
     elif ell:  # scatter-free residual accumulation
         resid = _ell_apply(h, ell, n)
@@ -266,7 +266,7 @@ class RectGraph:
     The square interior operator optionally carries the same accelerated
     layouts as the single-chip 'bsr' backend (data/graph.py): dense MXU tiles
     over the densest [tb, tb] blocks of the local sub-adjacency (the COO
-    fields then hold only residual edges) and column-blocked gather windows
+    fields then hold only residual edges) and the 2D streaming residual layout
     for the residual. Tiles require n_out == n_in (square local block); the
     transpose pass reuses the SAME tile array with swapped contraction."""
 

@@ -79,7 +79,7 @@ class PartitionedGraph:
     ebmax: int = 0
     # --- optional accelerated interior layouts (see parallel/sharded.py and
     # ops/graphsum.py RectGraph): dense MXU tiles of each part's square local
-    # sub-adjacency + column-blocked gather windows for the interior residual.
+    # sub-adjacency + the 2D streaming residual layout for the interior residual.
     # When present, i_*/it_* above hold ONLY the interior residual edges.
     i_tiles: np.ndarray = None       # [P, Kmax, tb, tb]
     i_tile_rows: np.ndarray = None   # [P, Kmax] block-row ids, sorted per part
@@ -175,7 +175,7 @@ def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
     With ``interior_tiles``, each part's square interior sub-adjacency gets the
     single-chip 'bsr' treatment (data/graph.py): its densest [tb, tb] blocks
     become dense MXU tiles (uniformly padded to the max tile count across
-    parts), and the interior residual gets column-blocked gather windows when
+    parts), and the interior residual gets the 2D streaming layout when
     the part block is large enough. The per-part tile budget is the global
     budget / n_parts."""
     n = csr.nrows
@@ -356,7 +356,7 @@ def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
         perm = np.argsort(db, kind="stable")
         bt_src[p, :kb], bt_dst[p, :kb], bt_coef[p, :kb] = db[perm], sb[perm], cb[perm]
 
-    # --- optional: column-blocked gather windows for the interior residual
+    # --- optional: 2D streaming layout for the interior residual
     blk_kwargs: dict = {}
     if interior_tiles and block >= blocked_min_nodes:
         blk_kwargs = _stack_blocked2d(fwd_resid, bwd_resid, block, blocked_blk)
