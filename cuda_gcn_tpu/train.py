@@ -386,6 +386,7 @@ def run(cfg: GCNConfig, dataset: GCNDataset, verbose: bool = True,
     ``--timing`` reports true device-time averages per op — the reference's
     PRINT_TIMER_AVERAGE intent (src/common/timer.h:26) with real sync."""
     cfg, graph, x, truths = prepare(cfg, dataset)
+    timers.reset(TMR_TRAIN, TMR_TEST)  # per-run totals (see PhaseTimer.reset)
     state = initial_state if initial_state is not None else create_state(cfg)
 
     step_kwargs = dict(dropout_rate=cfg.dropout, weight_decay=cfg.weight_decay, lr=cfg.learning_rate)

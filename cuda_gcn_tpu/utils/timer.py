@@ -48,6 +48,15 @@ class PhaseTimer:
         self._count[name] += 1
         return elapsed
 
+    def reset(self, *names: str) -> None:
+        """Zero the given accumulators (all when empty). train.run resets its
+        phases on entry so RunResult totals are per-run even when several runs
+        share a process — the reference's timers are implicitly per-process
+        (translation-unit statics, src/common/timer.cpp:6)."""
+        for name in names or list(self._total):
+            self._total.pop(name, None)
+            self._count.pop(name, None)
+
     def add(self, name: str, seconds: float, count: int = 1) -> None:
         """Record externally-measured time (e.g. a jitted K-repeat op loop)."""
         self._total[name] += seconds

@@ -212,3 +212,26 @@ def test_sharded_chunked_epochs_match_fused(tiny_dataset, mesh, monkeypatch):
     for k in state_c.params:
         np.testing.assert_allclose(np.asarray(state_f.params[k]),
                                    np.asarray(state_c.params[k]), rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_three_layer_matches_single(tiny_dataset):
+    """Depth-generic sharded forward (3 layers via hidden_dims) must equal the
+    single-device model — the reference is hard-wired to 2 layers
+    (src/seq/gcn.cpp:21-59); our depth generality has to hold under SPMD too."""
+    ds = tiny_dataset
+    mesh2 = sharded.make_mesh(2)
+    cfg = ds.apply_config(GCNConfig(hidden_dims=(16, 8)))
+    params = gcn.init_params(jax.random.PRNGKey(5), cfg.layer_dims())
+    assert len(params) == 3
+
+    graph = build_graph(ds.graph, backend="segment")
+    x = jnp.asarray(ds.dense_features())
+    truth = train_mod.make_truth(ds.split, ds.label, 3)
+
+    cfg2, inputs, truths = sharded.prepare_sharded(cfg, ds, mesh2)
+    eval_step = sharded.make_sharded_eval_step(mesh2, cfg2)
+    loss_sharded, acc_sharded = eval_step(params, inputs, truths[3])
+    loss_single, acc_single = train_mod.eval_step(
+        params, graph, x, truth, weight_decay=cfg.weight_decay)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_single), rtol=1e-5)
+    np.testing.assert_allclose(float(acc_sharded), float(acc_single), rtol=1e-6)
