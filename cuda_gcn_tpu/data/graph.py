@@ -239,12 +239,28 @@ class EllBucketDev:
         return cls(*leaves)
 
 
+# Above this edge count the native C++ build kernels (csrc/gcn_build.cpp) take
+# over the host-side hot loops when the toolchain/lib is available; below it
+# (and always as the tested oracle) the numpy implementations run.
+NATIVE_BUILD_MIN_NNZ = 2_000_000
+
+
+def _native_build():
+    from cuda_gcn_tpu.data import native_build
+
+    return native_build if native_build.available() else None
+
+
 def normalization_coefficients(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
     """Per-edge Â values: 1/sqrt(rowlen(src) * rowlen(dst)) (module.cpp:91-93).
 
     Row lengths include the self-loop the parser prepended, so this equals the
     standard GCN D^-1/2 (A+I) D^-1/2 normalization.
     """
+    if int(indptr[-1]) >= NATIVE_BUILD_MIN_NNZ:
+        nb = _native_build()
+        if nb is not None:
+            return nb.norm_coef(indptr, indices)
     deg = np.diff(indptr).astype(np.float64)
     src = np.repeat(np.arange(len(indptr) - 1), np.diff(indptr))
     return (1.0 / np.sqrt(deg[src] * deg[indices])).astype(np.float32)
@@ -298,7 +314,13 @@ def build_ell(indptr: np.ndarray, indices: np.ndarray, coef: np.ndarray) -> list
     return _ell_pack(order, deg, indices, coef, indptr)
 
 
-def _transpose_coo(src: np.ndarray, dst: np.ndarray, coef: np.ndarray):
+def _transpose_coo(src: np.ndarray, dst: np.ndarray, coef: np.ndarray,
+                   n: int | None = None):
+    if len(src) >= NATIVE_BUILD_MIN_NNZ:
+        nb = _native_build()
+        if nb is not None:
+            nn = n if n is not None else (int(dst.max()) + 1 if len(dst) else 1)
+            return nb.transpose_coo(src, dst, coef, nn)
     perm = np.argsort(dst, kind="stable")
     return dst[perm], src[perm], coef[perm]
 
@@ -424,7 +446,7 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
             _np_dtype(bsr_dtype), unique_edges=unique_edges)
         src, dst, coef = src[keep_residual], dst[keep_residual], coef[keep_residual]
 
-    t_src, t_dst, t_coef = _transpose_coo(src, dst, coef)
+    t_src, t_dst, t_coef = _transpose_coo(src, dst, coef, n)
 
     blk_fwd = blk_bwd = None
     resid_nnz = len(src)
@@ -562,16 +584,23 @@ def _select_bsr_tiles(src, dst, coef, n, tb, min_edges, budget_bytes,
     """
     if dtype is None:
         dtype = _np_dtype(BSR_DEFAULT_DTYPE)
+    if min_edges is None:
+        min_edges = max(tb * tb * dtype.itemsize // BSR_BREAK_EVEN_BYTES_PER_EDGE, 8)
+    max_tiles = max(int(budget_bytes // (tb * tb * dtype.itemsize)), 0)
+    if len(src) >= NATIVE_BUILD_MIN_NNZ:
+        nb = _native_build()
+        if nb is not None:
+            native = nb.select_tiles(src, dst, coef, n, tb, min_edges,
+                                     max_tiles, dtype, unique_edges)
+            if native is not None:  # None: combination needs the numpy path
+                return native
     t_blocks = -(-n // tb)
     tile_r = src // tb
     tile_c = dst // tb
     tile_id = tile_r * t_blocks + tile_c
     counts = np.bincount(tile_id, minlength=t_blocks * t_blocks)
-    if min_edges is None:
-        min_edges = max(tb * tb * dtype.itemsize // BSR_BREAK_EVEN_BYTES_PER_EDGE, 8)
     candidates = np.flatnonzero(counts >= min_edges)
     # budget cap: densest first
-    max_tiles = max(int(budget_bytes // (tb * tb * dtype.itemsize)), 0)
     if len(candidates) > max_tiles:
         order = np.argsort(-counts[candidates], kind="stable")
         candidates = candidates[order[:max_tiles]]
