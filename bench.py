@@ -155,7 +155,7 @@ def main() -> int:
     # width-concatenated passes per epoch + 2 for the trailing eval
     # (train.run_epochs pass-fusion).
     ref_passes = 6 * args.epochs
-    exec_passes = 4 * args.epochs + 2
+    exec_passes = 4 * args.epochs + 2  # floor: each chunked program adds one trailing eval (+2)
     total_nnz = dataset.graph.nnz  # graph.nnz may be residual-only under 'bsr'
     edges_per_s = total_nnz * ref_passes / train_s
     exec_edges_per_s = total_nnz * exec_passes / train_s
