@@ -327,3 +327,33 @@ def test_tile_coverage_on_reddit_profile_shape():
     g0 = build_graph(ds.graph, backend="bsr", bsr_tile=64)
     covered0 = (ds.graph.nnz - g0.nnz) / ds.graph.nnz
     assert covered > covered0 + 0.2
+
+
+@pytest.mark.parametrize("shape", ["hub", "tail", "one_row"])
+def test_blocked2d_pathological_distributions(shape):
+    """The 2D streaming pack must stay exact on skewed inputs: a hub node
+    holding half the edges (band cuts collapse), edges concentrated in the
+    last rows (clamped final windows), and a single-row graph (one band)."""
+    rng = np.random.default_rng(42)
+    n, m = 600, 4000
+    if shape == "hub":
+        rows = np.concatenate([np.zeros(m // 2, np.int64),
+                               rng.integers(0, n, m - m // 2)])
+    elif shape == "tail":
+        rows = rng.integers(n - 20, n, m).astype(np.int64)
+    else:
+        rows = np.full(m, n // 2, np.int64)
+    cols = rng.integers(0, n, m).astype(np.int64)
+    rows = np.sort(rows)
+    coef = rng.random(m).astype(np.float32)
+
+    from cuda_gcn_tpu.data.graph import _blocked2d_pack
+    from cuda_gcn_tpu.ops.graphsum import _blocked2d_apply
+
+    b2 = _blocked2d_pack(rows, cols, coef, n, target_blk=64)
+    h = rng.standard_normal((n, 8)).astype(np.float32)
+    got = np.asarray(_blocked2d_apply(jnp.asarray(h), b2, n))
+    expected = np.zeros((n, 8), np.float64)
+    np.add.at(expected, rows, coef[:, None].astype(np.float64) * h[cols])
+    # atol covers f32 cancellation noise in the hub row's ~2000-term sum
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=2e-4)
