@@ -426,21 +426,9 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
     bsr = None
     if backend == "bsr":
         if bsr_budget_bytes is None:
-            # small graphs can't exceed the 1 GB auto-budget floor even if
-            # every candidate tile materializes — skip the device query so
-            # test/CPU builds stay deterministic and backend-init-free
-            item = _np_dtype(bsr_dtype).itemsize
-            min_e = bsr_min_edges or max(
-                bsr_tile * bsr_tile * item // BSR_BREAK_EVEN_BYTES_PER_EDGE, 8)
-            tiles_ub_bytes = (len(src) // min_e + 1) * bsr_tile * bsr_tile * item
-            if tiles_ub_bytes <= (1 << 30):
-                bsr_budget_bytes = 1 << 30
-            else:
-                bsr_budget_bytes = auto_tile_budget(n, len(src), aux_bytes)
-                import logging
-
-                logging.getLogger(__name__).info(
-                    "auto tile budget: %.2f GB", bsr_budget_bytes / (1 << 30))
+            bsr_budget_bytes = resolve_tile_budget(
+                n, len(src), bsr_tile, _np_dtype(bsr_dtype), bsr_min_edges,
+                aux_bytes)
         bsr, keep_residual = _select_bsr_tiles(
             src, dst, coef, n, bsr_tile, bsr_min_edges, bsr_budget_bytes,
             _np_dtype(bsr_dtype), unique_edges=unique_edges)
@@ -536,6 +524,27 @@ def device_hbm_bytes() -> int:
     except Exception:
         pass
     return ASSUMED_TPU_HBM_BYTES
+
+
+def resolve_tile_budget(n: int, nnz: int, tb: int, dtype,
+                        min_edges: int | None = None, aux_bytes: int = 0) -> int:
+    """Resolve the auto (None) tile budget for one device holding an n-row
+    graph with nnz edges. Small graphs — where even materializing EVERY
+    candidate tile stays under the 1 GB floor — resolve deterministically
+    without querying devices; larger ones derive the budget from HBM
+    (auto_tile_budget). Shared by build_graph and partition_graph so the
+    policy exists once."""
+    item = dtype.itemsize
+    min_e = min_edges or max(tb * tb * item // BSR_BREAK_EVEN_BYTES_PER_EDGE, 8)
+    tiles_ub_bytes = (nnz // min_e + 1) * tb * tb * item
+    if tiles_ub_bytes <= (1 << 30):
+        return 1 << 30
+    budget = auto_tile_budget(n, nnz, aux_bytes)
+    import logging
+
+    logging.getLogger(__name__).info(
+        "auto tile budget: %.2f GB", budget / (1 << 30))
+    return budget
 
 
 def auto_tile_budget(n: int, total_nnz: int, aux_bytes: int = 0,
@@ -634,13 +643,21 @@ def _select_bsr_tiles(src, dst, coef, n, tb, min_edges, budget_bytes,
     return (tiles, rows, cols, tb, t_blocks), ~in_tile
 
 
+def require_flat_coo(graph: Graph, consumer: str) -> None:
+    """Large-graph Graphs drop the flat residual COO once the 2D streaming
+    layout exists (FLAT_RESID_MAX_NNZ); any consumer needing the flat arrays
+    must fail loudly instead of silently aggregating zero edges. The single
+    guard shared by every flat-COO consumer (graphsum dispatch, dense_adjacency)."""
+    if graph.resid_nnz > 0 and int(graph.src.shape[0]) == 0:
+        raise ValueError(
+            f"Graph carries {graph.resid_nnz} residual edges but its flat COO "
+            f"was dropped (resid_nnz > FLAT_RESID_MAX_NNZ); {consumer} needs "
+            f"the flat layout — rebuild with build_graph(...) for this use")
+
+
 def dense_adjacency(graph: Graph) -> jnp.ndarray:
     """Materialize Â as a dense [N, N] matrix (small graphs / oracle / MXU backend)."""
     n = graph.n_nodes
-    if graph.resid_nnz > 0 and int(graph.src.shape[0]) == 0:
-        raise ValueError(
-            "Graph's flat residual COO was dropped (resid_nnz > "
-            "FLAT_RESID_MAX_NNZ); dense_adjacency would silently lose "
-            f"{graph.resid_nnz} edges")
+    require_flat_coo(graph, "dense_adjacency")
     a = jnp.zeros((n, n), jnp.float32)
     return a.at[graph.src, graph.dst].add(graph.coef)

@@ -203,15 +203,9 @@ def _bsr_apply(h, graph: Graph, transpose: bool):
 
 
 def _check_flat_coo(graph: Graph):
-    """Large-graph Graphs drop the flat residual COO once the blocked layout
-    exists (data/graph.py FLAT_RESID_MAX_NNZ); any backend other than the
-    blocked 'bsr' path would then silently aggregate ZERO edges. Fail loudly."""
-    if graph.resid_nnz > 0 and int(graph.src.shape[0]) == 0:
-        raise ValueError(
-            f"Graph carries {graph.resid_nnz} residual edges but its flat COO "
-            f"was dropped (resid_nnz > FLAT_RESID_MAX_NNZ); backend "
-            f"'{graph.backend}' needs the flat layout — rebuild the graph with "
-            f"build_graph(..., backend='{graph.backend}')")
+    from cuda_gcn_tpu.data.graph import require_flat_coo
+
+    require_flat_coo(graph, f"backend '{graph.backend}'")
 
 
 def _pallas_or_ell(h, buckets, graph: Graph):

@@ -280,26 +280,34 @@ def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
     tile_kwargs: dict = {}
     interior_resid = None
     if interior_tiles:
-        from cuda_gcn_tpu.data.graph import auto_tile_budget
+        from cuda_gcn_tpu.data.graph import resolve_tile_budget
 
         dtype = _np_dtype(bsr_dtype)
         if bsr_budget_bytes is None:
-            min_e = bsr_min_edges or max(
-                bsr_tile * bsr_tile * dtype.itemsize // 2048, 8)
-            tiles_ub = (len(src) // n_parts // min_e + 1) * bsr_tile * bsr_tile * dtype.itemsize
-            if tiles_ub <= (1 << 30):  # small graphs: skip the device query
-                bsr_budget_bytes = n_parts << 30
-            else:
-                # model ONE device holding ONE part (its own HBM)
-                bsr_budget_bytes = n_parts * auto_tile_budget(block, len(src) // n_parts)
+            # per-part budget models one device holding one part, but the
+            # STACKED total is also capped at a single device's budget: on
+            # virtual meshes (and device_put staging) all P parts coexist in
+            # one memory — real pods wanting the full P x HBM can pass an
+            # explicit budget
+            per_ideal = resolve_tile_budget(block, len(src) // n_parts,
+                                            bsr_tile, dtype, bsr_min_edges)
+            single_dev = resolve_tile_budget(n, len(src), bsr_tile, dtype,
+                                             bsr_min_edges)
+            bsr_budget_bytes = min(n_parts * per_ideal, max(single_dev, per_ideal))
         per_budget = max(bsr_budget_bytes // n_parts, bsr_tile * bsr_tile * dtype.itemsize)
         tiles_pp, interior_resid = [], []
         i_nblocks = -(-block // bsr_tile)
         for p in range(n_parts):
             s, d, c, interior = per_part[p]
             si, di, ci = s[interior].astype(np.int64), d[interior].astype(np.int64), c[interior]
+            # duplicate-edge check enables the fast scatter-assign tile build
+            # (and the native bf16 kernel) — cf. build_graph's unique_edges
+            ekey = si * np.int64(block) + di
+            ekey_sorted = np.sort(ekey)
+            uniq = not bool(np.any(ekey_sorted[1:] == ekey_sorted[:-1]))
             (tiles, trows, tcols, _, _), keep = _select_bsr_tiles(
-                si, di, ci, block, bsr_tile, bsr_min_edges, per_budget, dtype)
+                si, di, ci, block, bsr_tile, bsr_min_edges, per_budget, dtype,
+                unique_edges=uniq)
             tiles_pp.append((tiles, trows, tcols))
             interior_resid.append((si[keep].astype(np.int32),
                                    di[keep].astype(np.int32), ci[keep]))

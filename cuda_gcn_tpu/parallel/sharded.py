@@ -346,7 +346,7 @@ def run_sharded_epochs_chunked(mesh: Mesh, cfg: GCNConfig, state, inputs,
                                  epochs=k)
         return m
 
-    metrics = train_mod.run_chunked_loop(run_one, epochs, chunk, nnz)
+    metrics, _ = train_mod.run_chunked_loop(run_one, epochs, chunk, nnz)
     return holder["state"], metrics
 
 

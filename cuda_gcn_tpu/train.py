@@ -194,32 +194,43 @@ def pick_epoch_chunk(nnz: int, epochs: int) -> int:
     return _balance_chunks(epochs, int(TARGET_PROGRAM_SECONDS / per_epoch))
 
 
-def run_chunked_loop(run_one, epochs: int, chunk: int | None, nnz: int):
+def run_chunked_loop(run_one, epochs: int, chunk: int | None, nnz: int,
+                     passes_per_epoch: int = 4):
     """The shared chunk-sizing/adaptation policy for fused epoch runners.
 
-    ``run_one(k)`` executes k fused epochs (mutating its own state) and returns
-    the 4-tuple of per-epoch metric arrays. Chunks are sized from the static
-    per-edge cost model at reddit scale and below; for larger graphs (estimate
-    > ~1 s/epoch) the true per-epoch time is probed with two 1-epoch programs
-    (the first pays compile) and all remaining chunks are sized from the
+    ``run_one(k)`` executes up to k fused epochs (mutating its own state) and
+    returns either the 4-tuple of per-epoch metric arrays, or
+    ``(metrics, n_done, stopped)`` when the runner can exit early (the
+    on-device early-stopping loop). Chunks are sized from the static per-edge
+    cost model at reddit scale and below; for larger graphs (estimate > ~1
+    s/epoch) the true per-epoch time is probed with two 1-epoch programs (the
+    first pays compile) and all remaining chunks are sized from the
     measurement. Any chunk measured over MAX_PROGRAM_SECONDS shrinks the
     following ones — a single oversized device program can trip the tunneled
-    worker's execution watchdog. Used by both the single-chip and the sharded
-    runner so the policy exists exactly once."""
-    probe = chunk is None and _estimate_epoch_seconds(nnz) > _PROBE_ABOVE_EST_SECONDS
+    worker's execution watchdog. Used by the single-chip, sharded, and
+    early-stopping runners so the policy exists exactly once.
+
+    Returns (metrics [4 x np.ndarray], stopped)."""
+    est = _estimate_epoch_seconds(nnz) * passes_per_epoch / 4
+    probe = chunk is None and est > _PROBE_ABOVE_EST_SECONDS
     if chunk is None:
-        chunk = pick_epoch_chunk(nnz, epochs)
+        chunk = _balance_chunks(epochs, int(TARGET_PROGRAM_SECONDS / est))
     parts: list[list[np.ndarray]] = []
     done = n_calls = 0
-    while done < epochs:
+    stopped = False
+    while done < epochs and not stopped:
         # probe calls: two 1-epoch programs (first includes compile; the second
         # is cached and measures pure execution)
         k = 1 if (probe and n_calls < 2) else min(chunk, epochs - done)
         t0 = time.perf_counter()
-        m = run_one(k)
-        parts.append([np.asarray(v) for v in m])  # device sync per chunk
+        out = run_one(k)
+        if isinstance(out, tuple) and len(out) == 3:
+            m, n_done, stopped = out
+        else:
+            m, n_done = out, k
+        parts.append([np.asarray(v)[:n_done] for v in m])  # device sync per chunk
         dt = time.perf_counter() - t0
-        done += k
+        done += n_done
         n_calls += 1
         if probe and n_calls == 2:
             chunk = _balance_chunks(epochs - done,
@@ -227,8 +238,8 @@ def run_chunked_loop(run_one, epochs: int, chunk: int | None, nnz: int):
         elif n_calls > 1 and dt > MAX_PROGRAM_SECONDS and k > 1:
             # n_calls > 1: the first call's time includes compilation, which
             # must not trigger a shrink (and a recompile) on the steady path
-            chunk = max(1, int(MAX_PROGRAM_SECONDS / (dt / k)))
-    return [np.concatenate([p[i] for p in parts]) for i in range(4)]
+            chunk = max(1, int(MAX_PROGRAM_SECONDS / (dt / max(n_done, 1))))
+    return [np.concatenate([p[i] for p in parts]) for i in range(4)], stopped
 
 
 @partial(jax.jit, static_argnames=("epochs", "es_window", "dropout_rate",
@@ -286,30 +297,28 @@ def run_epochs_es(state: TrainState, graph: Graph, x: jnp.ndarray,
 def run_epochs_es_chunked(state: TrainState, graph: Graph, x, truth_train,
                           truth_val, *, epochs: int, es_window: int,
                           chunk: int | None = None, **step_kwargs):
-    """run_epochs_es in bounded chunks (same program-length policy as the
-    non-ES runner). Returns (state, [4 x np.ndarray] truncated at the stop
-    epoch, stopped)."""
-    nnz = graph.total_nnz or graph.nnz
-    if chunk is None:
-        # 6 passes/epoch here vs the fused loop's 4: scale the chunk down
-        chunk = _balance_chunks(epochs, max(1, pick_epoch_chunk(nnz, epochs) * 2 // 3))
-    ring = jnp.full((es_window,), jnp.inf, jnp.float32)
-    epoch0 = jnp.int32(0)
-    parts: list[np.ndarray] = []
-    done = 0
-    stopped = False
-    while done < epochs and not stopped:
-        k = min(chunk, epochs - done)
-        state, metrics, n_done, stop_flag, ring = run_epochs_es(
-            state, graph, x, truth_train, truth_val, ring, epoch0,
-            epochs=k, es_window=es_window, **step_kwargs)
+    """run_epochs_es in bounded chunks, sharing run_chunked_loop's full
+    sizing/probe/shrink policy (6 adjacency passes per epoch here vs the
+    fused loop's 4 — the cost model scales accordingly). Returns
+    (state, [4 x np.ndarray] truncated at the stop epoch, stopped)."""
+    hold = {"state": state,
+            "ring": jnp.full((es_window,), jnp.inf, jnp.float32),
+            "epoch0": 0}
+
+    def run_one(k):
+        hold["state"], metrics, n_done, stop_flag, hold["ring"] = run_epochs_es(
+            hold["state"], graph, x, truth_train, truth_val, hold["ring"],
+            jnp.int32(hold["epoch0"]), epochs=k, es_window=es_window,
+            **step_kwargs)
         n_done = int(n_done)
-        parts.append(np.asarray(metrics)[:n_done])
-        stopped = bool(stop_flag)
-        done += n_done
-        epoch0 = jnp.int32(done)
-    all_m = np.concatenate(parts, axis=0)
-    return state, [all_m[:, i] for i in range(4)], stopped
+        hold["epoch0"] += n_done
+        m = np.asarray(metrics)
+        return [m[:, i] for i in range(4)], n_done, bool(stop_flag)
+
+    metrics, stopped = run_chunked_loop(run_one, epochs, chunk,
+                                        graph.total_nnz or graph.nnz,
+                                        passes_per_epoch=6)
+    return hold["state"], metrics, stopped
 
 
 def run_epochs_chunked(state: TrainState, graph: Graph, x, truth_train, truth_val, *,
@@ -324,7 +333,7 @@ def run_epochs_chunked(state: TrainState, graph: Graph, x, truth_train, truth_va
                                         truth_val, epochs=k, **step_kwargs)
         return m
 
-    metrics = run_chunked_loop(run_one, epochs, chunk, graph.total_nnz or graph.nnz)
+    metrics, _ = run_chunked_loop(run_one, epochs, chunk, graph.total_nnz or graph.nnz)
     return holder["state"], metrics
 
 

@@ -69,21 +69,27 @@ def populate_op_timers(graph, x, params, truth, key, *, dropout_rate: float = 0.
     import jax
     import jax.numpy as jnp
 
+    from cuda_gcn_tpu.models.gcn import _layer0_transform
     from cuda_gcn_tpu.ops.dropout import dropout
     from cuda_gcn_tpu.ops.graphsum import graphsum
     from cuda_gcn_tpu.ops.loss import masked_cross_entropy
+    from cuda_gcn_tpu.ops.matmul import SparseFeatures
     from cuda_gcn_tpu.utils import timer as T
 
     n = graph.n_nodes
     if repeats is None:
         repeats = 50 if n < 50_000 else 10
     w1, w2 = params["w1"], params["w2"]
+    sparse_x = isinstance(x, SparseFeatures)
+    # the dropout'd tensor the reference's layer-0 Dropout touches: the dense
+    # feature matrix, or the nnz VALUES of the sparse one (gcn.cpp:23)
+    drop_target = x.values if sparse_x else x
 
     @jax.jit
     def _stage(x):
-        z1 = jnp.dot(x, w1, preferred_element_type=jnp.float32).astype(x.dtype)
+        z1 = _layer0_transform(x, w1, 0.0, None, False)
         h1 = jnp.maximum(graphsum(z1, graph), 0.0)
-        z2 = jnp.dot(h1, w2, preferred_element_type=jnp.float32).astype(x.dtype)
+        z2 = jnp.dot(h1, w2, preferred_element_type=jnp.float32).astype(z1.dtype)
         logits = graphsum(z2, graph)
         return z1, h1, z2, logits
 
@@ -108,17 +114,25 @@ def populate_op_timers(graph, x, params, truth, key, *, dropout_rate: float = 0.
         return (time.perf_counter() - t0) / repeats
 
     _, gs_vjp = jax.vjp(lambda h: graphsum(h, graph), z2)
-    ce_grad = jax.grad(masked_cross_entropy)
+    # the layer-0 transform and its weight gradient, honoring sparse features
+    # (the reference's SparseMatmul fwd/bwd, module.cpp:47-77)
+    _, sp_vjp = jax.vjp(lambda w: _layer0_transform(x, w, 0.0, None, False), w1)
+    # TMR_LOSS_FW times loss AND gradient together on purpose: the reference's
+    # CrossEntropyLoss computes the grad inside forward (module.cpp:145-158)
+    # and its backward is a no-op
+    ce_fwd = jax.value_and_grad(masked_cross_entropy)
+    # dropout backward is a mask multiply (the mask is saved from forward, not
+    # re-sampled); time it with a pre-drawn inverted-dropout mask
+    bw_mask = (jax.random.bernoulli(key, 1.0 - dropout_rate, drop_target.shape)
+               .astype(drop_target.dtype) / (1.0 - dropout_rate))
 
     ops = {
         T.TMR_DROPOUT_FW: (lambda c, i: dropout(
-            c, dropout_rate, jax.random.fold_in(key, i), True), x),
-        T.TMR_DROPOUT_BW: (lambda c, i: dropout(
-            c, dropout_rate, jax.random.fold_in(key, i), True), x),
-        T.TMR_SPMATMUL_FW: (lambda c, i: jnp.dot(
-            c, w1, preferred_element_type=jnp.float32), x),
-        T.TMR_SPMATMUL_BW: (lambda c, i: jnp.dot(
-            x.T, c, preferred_element_type=jnp.float32), g1),
+            c, dropout_rate, jax.random.fold_in(key, i), True), drop_target),
+        T.TMR_DROPOUT_BW: (lambda c, i: c * bw_mask, drop_target),
+        T.TMR_SPMATMUL_FW: (lambda c, i: _layer0_transform(
+            x, w1 + 0.0 * c.ravel()[0], 0.0, None, False), jnp.zeros_like(w1)),
+        T.TMR_SPMATMUL_BW: (lambda c, i: sp_vjp(c)[0], g1),
         T.TMR_GRAPHSUM_FW: (lambda c, i: graphsum(c, graph), z1),
         T.TMR_GRAPHSUM_BW: (lambda c, i: gs_vjp(c)[0], g2),
         T.TMR_RELU_FW: (lambda c, i: jnp.maximum(c, 0.0), z1),
@@ -128,7 +142,7 @@ def populate_op_timers(graph, x, params, truth, key, *, dropout_rate: float = 0.
         T.TMR_MATMUL_BW: (lambda c, i: jnp.dot(
             c, w2.T, preferred_element_type=jnp.float32)
             + 0.0 * jnp.dot(h1.T, c, preferred_element_type=jnp.float32).ravel()[0], g2),
-        T.TMR_LOSS_FW: (lambda c, i: ce_grad(c, truth), logits),
+        T.TMR_LOSS_FW: (lambda c, i: ce_fwd(c, truth)[1], logits),
     }
     out = {}
     for name, (fn, init) in ops.items():
