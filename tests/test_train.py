@@ -237,3 +237,57 @@ def test_fused_es_matches_stepwise_exactly(tiny_dataset):
         chunk=3, **kw)
     assert stopped and len(m[0]) == stop_at
     np.testing.assert_allclose(np.stack(m, 1), np.array(hist), rtol=1e-5, atol=1e-6)
+
+
+def test_run_chunked_loop_policy(monkeypatch):
+    """The shared chunk policy must probe (two 1-epoch programs) when the
+    static estimate is large, resize from the measurement, shrink after an
+    over-budget chunk, and honor early stop from a 3-tuple run_one."""
+    import numpy as np
+
+    from cuda_gcn_tpu import train as train_mod
+
+    calls = []
+    clock = {"t": 0.0}
+
+    def fake_perf_counter():
+        return clock["t"]
+
+    monkeypatch.setattr(train_mod.time, "perf_counter", fake_perf_counter)
+
+    def run_one(k):
+        calls.append(k)
+        clock["t"] += 2.0 * k  # 2 s/epoch measured
+        m = np.zeros((4, k), np.float32)
+        return [m[i] for i in range(4)]
+
+    # huge static estimate triggers the probe; measured 2 s/epoch ->
+    # chunk ~= TARGET/2 = 5 epochs thereafter
+    nnz_huge = int(2e9)
+    metrics, stopped = train_mod.run_chunked_loop(run_one, 20, None, nnz_huge)
+    assert not stopped and len(metrics[0]) == 20
+    assert calls[:2] == [1, 1]                      # probe programs
+    assert all(c <= 5 for c in calls[2:])           # resized from measurement
+
+    # over-budget chunk shrinks the following ones
+    calls.clear()
+    clock["t"] = 0.0
+
+    def run_slow(k):
+        calls.append(k)
+        clock["t"] += 30.0 * k  # 30 s/epoch; 2-epoch chunk = 60 s > MAX
+        m = np.zeros((4, k), np.float32)
+        return [m[i] for i in range(4)]
+
+    metrics, _ = train_mod.run_chunked_loop(run_slow, 8, 4, nnz=100)
+    assert len(metrics[0]) == 8
+    assert max(calls[2:], default=1) <= 2           # shrunk after measurement
+
+    # early stop via the 3-tuple protocol truncates and halts
+    def run_es(k):
+        m = np.zeros((4, k), np.float32)
+        n_done = min(k, 2)
+        return [m[i] for i in range(4)], n_done, True
+
+    metrics, stopped = train_mod.run_chunked_loop(run_es, 50, 10, nnz=100)
+    assert stopped and len(metrics[0]) == 2
