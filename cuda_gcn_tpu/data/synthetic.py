@@ -26,9 +26,10 @@ PROFILES = {
     "synth-citeseer": (3327, 4732, 6, 3703),
     "synth-pubmed": (19717, 44338, 3, 500),
     "synth-reddit": (232965, 11606919, 41, 602),
-    # 4x-reddit capability profile: beyond the reference's demonstrated ceiling
-    # (report.pdf §3.3 stops at reddit); same class/feature dims, 4x nodes+edges
+    # 4x/16x-reddit capability profiles: beyond the reference's demonstrated
+    # ceiling (report.pdf §3.3 stops at reddit); same class/feature dims
     "synth-reddit4x": (931860, 46427676, 41, 602),
+    "synth-reddit16x": (3727440, 185710704, 41, 602),
 }
 
 
