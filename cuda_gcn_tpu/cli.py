@@ -46,6 +46,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "CSR-values SpMM (reference SparseMatmul parity)")
     p.add_argument("--platform", default=None, choices=["tpu", "cpu"],
                    help="force a JAX platform (default: environment's)")
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="train sharded over an N-device mesh (graph partition "
+                        "+ halo exchange; the reference is single-device only)")
     p.add_argument("--save-checkpoint", default=None, metavar="PATH",
                    help="save the final train state to PATH (npz)")
     p.add_argument("--load-checkpoint", default=None, metavar="PATH",
@@ -127,8 +130,22 @@ def main(argv: list[str] | None = None) -> int:
         template = train_mod.create_state(dataset.apply_config(cfg))
         initial_state = restore_state(args.load_checkpoint, like=template)
         print(f"restored checkpoint from {args.load_checkpoint}")
-    result = train_mod.run(cfg, dataset, verbose=True, initial_state=initial_state,
-                           time_ops=args.timing)
+    if args.mesh:
+        if args.mesh > jax.device_count():
+            print(f"--mesh {args.mesh} needs {args.mesh} devices, have "
+                  f"{jax.device_count()}", file=sys.stderr)
+            return 1
+        if initial_state is not None:
+            print("note: --load-checkpoint is ignored with --mesh", file=sys.stderr)
+        from cuda_gcn_tpu.parallel import multihost, sharded
+
+        multihost.initialize()  # no-op single-host
+        mesh = sharded.make_mesh(args.mesh)
+        print(f"SHARDED over {args.mesh} devices (graph partition + halo exchange)")
+        result = sharded.run_sharded(cfg, dataset, mesh, verbose=True)
+    else:
+        result = train_mod.run(cfg, dataset, verbose=True, initial_state=initial_state,
+                               time_ops=args.timing)
 
     if args.save_checkpoint:
         from cuda_gcn_tpu.utils.checkpoint import save_state

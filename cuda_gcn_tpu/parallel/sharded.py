@@ -395,3 +395,76 @@ def prepare_sharded(cfg: GCNConfig, dataset: GCNDataset, mesh: Mesh,
         t = np.where(dataset.split == s, dataset.label, -1).astype(np.int32)
         truths[s] = jax.device_put(jnp.asarray(pg.pad_nodes(t, fill=-1)), sh)
     return cfg, inputs, truths
+
+
+def run_sharded(cfg: GCNConfig, dataset: GCNDataset, mesh: Mesh | None = None,
+                verbose: bool = True):
+    """Full multi-chip training run with the reference's epoch loop, output
+    contract, and early-stopping rule (gcn.cpp:130-158) — the sharded
+    counterpart of ``train.run``. With early stopping disabled (the reference
+    default) all epochs execute as fused chunked device programs; with it
+    enabled, the stop decision is made host-side between per-epoch sharded
+    steps, exactly like the reference's loop."""
+    import time
+
+    from cuda_gcn_tpu import train as train_mod
+    from cuda_gcn_tpu.utils.timer import TMR_TEST, TMR_TRAIN, timers
+
+    mesh = mesh if mesh is not None else make_mesh()
+    cfg, inputs, truths = prepare_sharded(cfg, dataset, mesh)
+    timers.reset(TMR_TRAIN, TMR_TEST)
+    state = train_mod.create_state(cfg)
+    eval_step = make_sharded_eval_step(mesh, cfg)
+
+    history: list[dict] = []
+    loss_history: list[float] = []
+    epochs_run = 0
+    if cfg.early_stopping <= 0 and cfg.epochs > 1:
+        timers.start(TMR_TRAIN)
+        state, metrics = run_sharded_epochs_chunked(
+            mesh, cfg, state, inputs, truths[1], truths[2], epochs=cfg.epochs)
+        total_time = timers.stop(TMR_TRAIN)
+        epochs_run = cfg.epochs
+        per_epoch = total_time / cfg.epochs
+        for epoch in range(1, cfg.epochs + 1):
+            tl, ta, vl, va = (float(m[epoch - 1]) for m in metrics)
+            if verbose:
+                print(f"epoch={epoch} train_loss={tl:.5f} train_acc={ta:.5f} "
+                      f"val_loss={vl:.5f} val_acc={va:.5f} time={per_epoch:.5f}")
+            history.append(dict(epoch=epoch, train_loss=tl, train_acc=ta,
+                                val_loss=vl, val_acc=va, time=per_epoch))
+            loss_history.append(vl)
+    else:
+        train_step = make_sharded_train_step(mesh, cfg)
+        for epoch in range(1, cfg.epochs + 1):
+            timers.start(TMR_TRAIN)
+            state, tl, ta = train_step(state, inputs, truths[1])
+            vl, va = eval_step(state.params, inputs, truths[2])
+            tl, ta, vl, va = float(tl), float(ta), float(vl), float(va)
+            epoch_time = timers.stop(TMR_TRAIN)
+            epochs_run = epoch
+            if verbose:
+                print(f"epoch={epoch} train_loss={tl:.5f} train_acc={ta:.5f} "
+                      f"val_loss={vl:.5f} val_acc={va:.5f} time={epoch_time:.5f}")
+            history.append(dict(epoch=epoch, train_loss=tl, train_acc=ta,
+                                val_loss=vl, val_acc=va, time=epoch_time))
+            loss_history.append(vl)
+            if cfg.early_stopping > 0 and epoch >= cfg.early_stopping:
+                recent = loss_history[epoch - cfg.early_stopping : epoch]
+                if vl > sum(recent) / cfg.early_stopping:
+                    if verbose:
+                        print("Early stopping...")
+                    break
+
+    total = timers.total(TMR_TRAIN)
+    if verbose:
+        print(f"total training time={total:.5f}")
+    timers.start(TMR_TEST)
+    test_loss, test_acc = eval_step(state.params, inputs, truths[3])
+    test_loss, test_acc = float(test_loss), float(test_acc)
+    test_time = timers.stop(TMR_TEST)
+    if verbose:
+        print(f"test_loss={test_loss:.5f} test_acc={test_acc:.5f} time={test_time:.5f}")
+    return train_mod.RunResult(
+        test_loss=test_loss, test_acc=test_acc, total_train_time=total,
+        epochs_run=epochs_run, state=state, history=history)

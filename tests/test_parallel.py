@@ -235,3 +235,19 @@ def test_sharded_three_layer_matches_single(tiny_dataset):
         params, graph, x, truth, weight_decay=cfg.weight_decay)
     np.testing.assert_allclose(float(loss_sharded), float(loss_single), rtol=1e-5)
     np.testing.assert_allclose(float(acc_sharded), float(acc_single), rtol=1e-6)
+
+
+def test_run_sharded_matches_single_device_run(tiny_dataset):
+    """The full sharded run loop (run_sharded: prepare + fused chunked epochs +
+    output contract) must reproduce the single-device train.run metrics when
+    dropout is off (per-device RNG streams are the only sanctioned divergence)."""
+    mesh2 = sharded.make_mesh(2)
+    cfg = GCNConfig(hidden_dim=8, dropout=0.0, epochs=5, seed=0)
+    r_single = train_mod.run(cfg, tiny_dataset, verbose=False)
+    r_shard = sharded.run_sharded(cfg, tiny_dataset, mesh2, verbose=False)
+    assert r_shard.epochs_run == r_single.epochs_run
+    np.testing.assert_allclose(r_shard.test_acc, r_single.test_acc, atol=1e-6)
+    np.testing.assert_allclose(r_shard.test_loss, r_single.test_loss, rtol=1e-5)
+    for a, b in zip(r_shard.history, r_single.history):
+        np.testing.assert_allclose(a["train_loss"], b["train_loss"], rtol=1e-5)
+        np.testing.assert_allclose(a["val_loss"], b["val_loss"], rtol=1e-5)
