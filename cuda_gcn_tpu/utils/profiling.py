@@ -86,67 +86,81 @@ def populate_op_timers(graph, x, params, truth, key, *, dropout_rate: float = 0.
     drop_target = x.values if sparse_x else x
 
     @jax.jit
-    def _stage(x):
+    def _stage(x, graph, w1, w2):  # all operands as args (no constant capture)
         z1 = _layer0_transform(x, w1, 0.0, None, False)
         h1 = jnp.maximum(graphsum(z1, graph), 0.0)
         z2 = jnp.dot(h1, w2, preferred_element_type=jnp.float32).astype(z1.dtype)
         logits = graphsum(z2, graph)
         return z1, h1, z2, logits
 
-    z1, h1, z2, logits = _stage(x)
+    z1, h1, z2, logits = _stage(x, graph, w1, w2)
     g2 = jnp.ones_like(logits) / n
     g1 = jnp.ones_like(z1) / n
 
-    def timed(fn, init):
+    def timed(fn, init, *args):
+        # big operands (graph, x, weights, masks) travel as jit ARGUMENTS:
+        # closing over them would bake them in as compile-time constants —
+        # 3+ GB programs at reddit scale over the tunneled compiler
+        # (CLAUDE.md; measured before this was argument-ized)
         @jax.jit
-        def prog(h):
+        def prog(h, *a):
             def body(c, i):
-                out = fn(c, i)
+                out = fn(c, i, *a)
                 # chain through one element so the op can't be hoisted/CSE'd
                 return c + (0.0 * out.ravel()[0]).astype(c.dtype), None
 
             c, _ = jax.lax.scan(body, h, jnp.arange(repeats))
             return jnp.sum(c)
 
-        float(prog(init))  # compile + warm
+        float(prog(init, *args))  # compile + warm
         t0 = time.perf_counter()
-        float(prog(init))  # scalar materialization == reliable sync
+        float(prog(init, *args))  # scalar materialization == reliable sync
         return (time.perf_counter() - t0) / repeats
 
-    _, gs_vjp = jax.vjp(lambda h: graphsum(h, graph), z2)
-    # the layer-0 transform and its weight gradient, honoring sparse features
-    # (the reference's SparseMatmul fwd/bwd, module.cpp:47-77)
-    _, sp_vjp = jax.vjp(lambda w: _layer0_transform(x, w, 0.0, None, False), w1)
-    # TMR_LOSS_FW times loss AND gradient together on purpose: the reference's
-    # CrossEntropyLoss computes the grad inside forward (module.cpp:145-158)
-    # and its backward is a no-op
-    ce_fwd = jax.value_and_grad(masked_cross_entropy)
+    def _l0(xx, w):
+        return _layer0_transform(xx, w, 0.0, None, False)
+
+    def _l0_wgrad(c, xx, w):
+        # layer-0 weight gradient (the reference's SparseMatmul backward,
+        # module.cpp:63-77), derived inside the traced fn — no closures
+        return jax.vjp(lambda ww: _l0(xx, ww), w)[1](c)[0]
+
+    def _gs_bw(c, g):
+        from cuda_gcn_tpu.ops.graphsum import _transpose_forward
+
+        return _transpose_forward(c, g)
+
     # dropout backward is a mask multiply (the mask is saved from forward, not
     # re-sampled); time it with a pre-drawn inverted-dropout mask
     bw_mask = (jax.random.bernoulli(key, 1.0 - dropout_rate, drop_target.shape)
                .astype(drop_target.dtype) / (1.0 - dropout_rate))
+    # TMR_LOSS_FW times loss AND gradient together on purpose: the reference's
+    # CrossEntropyLoss computes the grad inside forward (module.cpp:145-158)
+    # and its backward is a no-op
+    ce_fwd = jax.value_and_grad(masked_cross_entropy)
 
     ops = {
         T.TMR_DROPOUT_FW: (lambda c, i: dropout(
             c, dropout_rate, jax.random.fold_in(key, i), True), drop_target),
-        T.TMR_DROPOUT_BW: (lambda c, i: c * bw_mask, drop_target),
-        T.TMR_SPMATMUL_FW: (lambda c, i: _layer0_transform(
-            x, w1 + 0.0 * c.ravel()[0], 0.0, None, False), jnp.zeros_like(w1)),
-        T.TMR_SPMATMUL_BW: (lambda c, i: sp_vjp(c)[0], g1),
-        T.TMR_GRAPHSUM_FW: (lambda c, i: graphsum(c, graph), z1),
-        T.TMR_GRAPHSUM_BW: (lambda c, i: gs_vjp(c)[0], g2),
+        T.TMR_DROPOUT_BW: (lambda c, i, m: c * m, drop_target, bw_mask),
+        T.TMR_SPMATMUL_FW: (lambda c, i, xx, w: _l0(xx, w + 0.0 * c.ravel()[0]),
+                            jnp.zeros_like(w1), x, w1),
+        T.TMR_SPMATMUL_BW: (lambda c, i, xx, w: _l0_wgrad(c, xx, w), g1, x, w1),
+        T.TMR_GRAPHSUM_FW: (lambda c, i, g: graphsum(c, g), z1, graph),
+        T.TMR_GRAPHSUM_BW: (lambda c, i, g: _gs_bw(c, g), g2, graph),
         T.TMR_RELU_FW: (lambda c, i: jnp.maximum(c, 0.0), z1),
-        T.TMR_RELU_BW: (lambda c, i: jnp.where(h1 > 0, c, 0.0), g1),
-        T.TMR_MATMUL_FW: (lambda c, i: jnp.dot(
-            c, w2, preferred_element_type=jnp.float32), h1),
-        T.TMR_MATMUL_BW: (lambda c, i: jnp.dot(
-            c, w2.T, preferred_element_type=jnp.float32)
-            + 0.0 * jnp.dot(h1.T, c, preferred_element_type=jnp.float32).ravel()[0], g2),
-        T.TMR_LOSS_FW: (lambda c, i: ce_fwd(c, truth)[1], logits),
+        T.TMR_RELU_BW: (lambda c, i, hh: jnp.where(hh > 0, c, 0.0), g1, h1),
+        T.TMR_MATMUL_FW: (lambda c, i, w: jnp.dot(
+            c, w, preferred_element_type=jnp.float32), h1, w2),
+        T.TMR_MATMUL_BW: (lambda c, i, hh, w: jnp.dot(
+            c, w.T, preferred_element_type=jnp.float32)
+            + 0.0 * jnp.dot(hh.T, c, preferred_element_type=jnp.float32).ravel()[0],
+            g2, h1, w2),
+        T.TMR_LOSS_FW: (lambda c, i, t: ce_fwd(c, t)[1], logits, truth),
     }
     out = {}
-    for name, (fn, init) in ops.items():
-        avg = timed(fn, init)
+    for name, (fn, init, *args) in ops.items():
+        avg = timed(fn, init, *args)
         T.timers.add(name, avg * repeats, repeats)
         out[name] = avg
     return out
