@@ -29,6 +29,7 @@ PROFILES = {
     # 4x/16x-reddit capability profiles: beyond the reference's demonstrated
     # ceiling (report.pdf §3.3 stops at reddit); same class/feature dims
     "synth-reddit4x": (931860, 46427676, 41, 602),
+    "synth-reddit8x": (1863720, 92855352, 41, 602),
     "synth-reddit16x": (3727440, 185710704, 41, 602),
 }
 
