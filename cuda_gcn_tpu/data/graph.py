@@ -563,7 +563,10 @@ def auto_tile_budget(n: int, total_nnz: int, aux_bytes: int = 0,
     """
     hbm = hbm_bytes if hbm_bytes is not None else device_hbm_bytes()
     act_bytes = 4 * n * 128 * 4          # lane-padded f32 rows
-    resid_bytes = 2 * 12 * total_nnz     # (rows+cols) int32 + coef f32, fwd+bwd
+    # (rows+cols) int32 + coef f32, fwd+bwd; x1.35 for the 2D layout's
+    # cap/width padding (measured ~1.3x on the skewed 8x residual — an 8x
+    # OOM dump showed arguments alone at 14.5 GB when this was unpadded)
+    resid_bytes = int(2 * 12 * total_nnz * 1.35)
     headroom = 1 << 30
     budget = hbm - aux_bytes - act_bytes - resid_bytes - headroom
     return max(budget, 1 << 30)
