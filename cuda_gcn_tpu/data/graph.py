@@ -353,25 +353,48 @@ def _blocked_pack_arrays(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray,
     cum = np.concatenate([[0], np.cumsum(colcnt)])
     targets = (np.arange(1, nb) * m) // nb
     bounds = np.searchsorted(cum, targets)
-    starts_nodes = np.unique(np.concatenate([[0], bounds])).astype(np.int64)
+    # cut at the UNION of edge-count quantiles and a fixed node grid: quantile
+    # cuts alone let a sparse tail block span a huge node range on skewed
+    # residuals (observed 108K-node windows at 8x-reddit — 7x the target,
+    # breaking the <=16 MB gather-window property); grid cuts bound the window
+    # while quantile cuts keep per-block edge counts at the cap
+    grid = np.arange(target_blk, n, target_blk, dtype=np.int64)
+    starts_nodes = np.unique(np.concatenate([[0], bounds, grid])).astype(np.int64)
     nb = len(starts_nodes)
     edges_node_hi = np.concatenate([starts_nodes[1:], [n]])
     blk_of = np.searchsorted(edges_node_hi, cols, side="right")
     order = np.lexsort((rows, blk_of))
     counts = np.bincount(blk_of, minlength=nb)
-    cap = int(-(-max(int(counts.max()), 1) // 8) * 8)
     width = int(-(-int(np.max(edges_node_hi - starts_nodes)) // 8) * 8)
-    r = np.full((nb, cap), pad_row, dtype=np.int32)
-    c = np.zeros((nb, cap), dtype=np.int32)
-    w = np.zeros((nb, cap), dtype=np.float32)
     st = np.concatenate([[0], np.cumsum(counts)])
+    # Split overfull blocks into several pieces at the SAME window start
+    # (the scan accumulates, so splitting an edge set across tiles is exact).
+    # Hub columns concentrate edges no column cut can divide — without the
+    # split, one 27K-edge hub tile forced cap (and thus padding) on every
+    # tile (measured 2-4x padded bytes at 8x-reddit). Uniform residuals
+    # never exceed 2x the mean, so this is a no-op there.
+    cap_t = max(int(2 * np.ceil(m / nb)), 1024)
+    pieces: list[tuple[int, int, int]] = []  # (block id, edge lo, edge hi)
     for b in range(nb):
-        sl = order[st[b]:st[b + 1]]
+        lo, hi = int(st[b]), int(st[b + 1])
+        while hi - lo > cap_t:
+            pieces.append((b, lo, lo + cap_t))
+            lo += cap_t
+        pieces.append((b, lo, hi))
+    np_ = len(pieces)
+    cap = int(-(-max(max(hi - lo for _, lo, hi in pieces), 1) // 8) * 8)
+    starts = np.empty(np_, dtype=np.int32)
+    r = np.full((np_, cap), pad_row, dtype=np.int32)
+    c = np.zeros((np_, cap), dtype=np.int32)
+    w = np.zeros((np_, cap), dtype=np.float32)
+    for i, (b, lo, hi) in enumerate(pieces):
+        sl = order[lo:hi]
         k = len(sl)
-        r[b, :k] = rows[sl]
-        c[b, :k] = cols[sl] - starts_nodes[b]
-        w[b, :k] = coef[sl]
-    return starts_nodes.astype(np.int32), r, c, w, width
+        starts[i] = starts_nodes[b]
+        r[i, :k] = rows[sl]
+        c[i, :k] = cols[sl] - starts_nodes[b]
+        w[i, :k] = coef[sl]
+    return starts, r, c, w, width
 
 
 # 'auto' backend: dense MXU matmul below this node count; block-sparse tiles
