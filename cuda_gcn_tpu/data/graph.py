@@ -351,15 +351,20 @@ def _blocked_pack_arrays(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray,
     nb = max(int(np.ceil(n / target_blk)), 1)
     colcnt = np.bincount(cols, minlength=n)
     cum = np.concatenate([[0], np.cumsum(colcnt)])
-    targets = (np.arange(1, nb) * m) // nb
-    bounds = np.searchsorted(cum, targets)
-    # cut at the UNION of edge-count quantiles and a fixed node grid: quantile
-    # cuts alone let a sparse tail block span a huge node range on skewed
-    # residuals (observed 108K-node windows at 8x-reddit — 7x the target,
-    # breaking the <=16 MB gather-window property); grid cuts bound the window
-    # while quantile cuts keep per-block edge counts at the cap
-    grid = np.arange(target_blk, n, target_blk, dtype=np.int64)
-    starts_nodes = np.unique(np.concatenate([[0], bounds, grid])).astype(np.int64)
+    # Greedy cuts: each window ends at whichever comes first — the edge-count
+    # target (equal-edge blocks, ~zero padding on uniform residuals) or the
+    # node-range bound (pure quantile cuts let a sparse tail block span a
+    # 108K-node window on the skewed 8x residual, 7x the target, breaking the
+    # <=16 MB gather-window property).
+    target_e = max(int(np.ceil(m / nb)), 1)
+    cuts = [0]
+    s = 0
+    while s < n:
+        t_edge = int(np.searchsorted(cum, cum[s] + target_e))
+        t = min(max(t_edge, s + 1), s + target_blk, n)
+        cuts.append(t)
+        s = t
+    starts_nodes = np.asarray(cuts[:-1], dtype=np.int64)
     nb = len(starts_nodes)
     edges_node_hi = np.concatenate([starts_nodes[1:], [n]])
     blk_of = np.searchsorted(edges_node_hi, cols, side="right")
