@@ -175,7 +175,7 @@ def main() -> int:
             "ms_per_epoch": round(train_s / args.epochs * 1000, 3),
             "spmm_edge_passes_per_s": round(edges_per_s),
             "spmm_edge_passes_per_s_basis": "reference-equivalent (6 passes/epoch)",
-            "spmm_executed_passes_per_s_max": round(exec_edges_per_s),
+            "spmm_executed_passes_per_s_min": round(exec_edges_per_s),
             "executed_passes_min": exec_passes,  # +2 per chunked program not counted
             "test_acc": round(float(test_acc), 5),
             "baseline_cuda_s": base,

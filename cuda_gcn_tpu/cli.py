@@ -118,6 +118,11 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # multi-process init must precede ANY backend use (jax.devices below
+    # initializes the backend); no-op without coordinator env/args
+    from cuda_gcn_tpu.parallel import multihost
+
+    multihost.initialize()
     platform = jax.devices()[0].platform.upper()
     print(f"RUNNING ON {platform}")
 
@@ -137,9 +142,11 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         if initial_state is not None:
             print("note: --load-checkpoint is ignored with --mesh", file=sys.stderr)
-        from cuda_gcn_tpu.parallel import multihost, sharded
+        if args.timing:
+            print("note: --timing reports only train/test phases with --mesh "
+                  "(per-op timers are single-chip)", file=sys.stderr)
+        from cuda_gcn_tpu.parallel import sharded
 
-        multihost.initialize()  # no-op single-host
         mesh = sharded.make_mesh(args.mesh)
         print(f"SHARDED over {args.mesh} devices (graph partition + halo exchange)")
         result = sharded.run_sharded(cfg, dataset, mesh, verbose=True)

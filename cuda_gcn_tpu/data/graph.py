@@ -385,7 +385,8 @@ def _blocked_pack_arrays(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray,
         while hi - lo > cap_t:
             pieces.append((b, lo, lo + cap_t))
             lo += cap_t
-        pieces.append((b, lo, hi))
+        if hi > lo:  # skip edge-free windows: an all-pad tile still costs a
+            pieces.append((b, lo, hi))  # full gather+reduce on device
     np_ = len(pieces)
     cap = int(-(-max(max(hi - lo for _, lo, hi in pieces), 1) // 8) * 8)
     starts = np.empty(np_, dtype=np.int32)

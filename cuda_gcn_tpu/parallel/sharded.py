@@ -398,20 +398,20 @@ def prepare_sharded(cfg: GCNConfig, dataset: GCNDataset, mesh: Mesh,
 
 
 def run_sharded(cfg: GCNConfig, dataset: GCNDataset, mesh: Mesh | None = None,
-                verbose: bool = True):
+                verbose: bool = True, **partition_kwargs):
     """Full multi-chip training run with the reference's epoch loop, output
     contract, and early-stopping rule (gcn.cpp:130-158) — the sharded
     counterpart of ``train.run``. With early stopping disabled (the reference
     default) all epochs execute as fused chunked device programs; with it
     enabled, the stop decision is made host-side between per-epoch sharded
-    steps, exactly like the reference's loop."""
-    import time
-
+    steps, exactly like the reference's loop. ``partition_kwargs`` reach
+    partition_graph — real pods should pass bsr_budget_bytes to lift the
+    virtual-mesh single-device tile-budget cap."""
     from cuda_gcn_tpu import train as train_mod
     from cuda_gcn_tpu.utils.timer import TMR_TEST, TMR_TRAIN, timers
 
     mesh = mesh if mesh is not None else make_mesh()
-    cfg, inputs, truths = prepare_sharded(cfg, dataset, mesh)
+    cfg, inputs, truths = prepare_sharded(cfg, dataset, mesh, **partition_kwargs)
     timers.reset(TMR_TRAIN, TMR_TEST)
     state = train_mod.create_state(cfg)
     eval_step = make_sharded_eval_step(mesh, cfg)
