@@ -355,13 +355,17 @@ def _blocked_pack_arrays(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray,
     # target (equal-edge blocks, ~zero padding on uniform residuals) or the
     # node-range bound (pure quantile cuts let a sparse tail block span a
     # 108K-node window on the skewed 8x residual, 7x the target, breaking the
-    # <=16 MB gather-window property).
+    # window-locality property). The bound is 4x the target (32 MB f32, the
+    # upper end of the chip's fast-gather window range, docs/PERF.md): slack
+    # keeps near-uniform residuals on pure quantile cuts (a tight bound
+    # fragmented sparse regions into sub-target blocks — measured 1.9x
+    # padding at 4x with a 1x bound, 1.36x at 2x, ~1.1x at 4x).
     target_e = max(int(np.ceil(m / nb)), 1)
     cuts = [0]
     s = 0
     while s < n:
         t_edge = int(np.searchsorted(cum, cum[s] + target_e))
-        t = min(max(t_edge, s + 1), s + target_blk, n)
+        t = min(max(t_edge, s + 1), s + 4 * target_blk, n)
         cuts.append(t)
         s = t
     starts_nodes = np.asarray(cuts[:-1], dtype=np.int64)
