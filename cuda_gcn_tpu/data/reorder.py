@@ -87,9 +87,19 @@ def cluster_order(labels: np.ndarray) -> np.ndarray:
     return np.lexsort((np.arange(len(labels)), cluster_rank[inv]))
 
 
-def locality_permutation(csr: CSR, rounds: int = 4) -> np.ndarray:
+def locality_permutation(csr: CSR, rounds: int = 4,
+                         return_cluster_sizes: bool = False):
+    """Cluster-major locality permutation. With ``return_cluster_sizes``, also
+    returns the cluster sizes IN THE NEW ORDER (descending) — the partitioner
+    snaps its balance-aware cuts to these cluster boundaries so a node-block
+    cut does not slice through a dense community (SURVEY.md §7 hard part #3)."""
     labels = label_propagation(csr.indptr, csr.indices, rounds=rounds)
-    return cluster_order(labels)
+    perm = cluster_order(labels)
+    if not return_cluster_sizes:
+        return perm
+    _, counts = np.unique(labels, return_counts=True)
+    sizes = counts[np.argsort(-counts, kind="stable")]
+    return perm, sizes
 
 
 @dataclasses.dataclass

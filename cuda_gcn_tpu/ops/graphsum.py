@@ -26,6 +26,7 @@ module.cpp:95 comment).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -71,45 +72,78 @@ def _ell_apply(h, buckets, n):
     return out
 
 
-def _blocked2d_apply(h, b2, n):
-    """Streaming residual aggregation over a Blocked2DDev (data/graph.py):
-    outer lax.scan over row bands, inner scan over that band's column windows.
-    Each inner step gathers from a dynamic-sliced <=16 MB window of the padded
-    activation table (~4 ns/row, docs/PERF.md "blocked gather") and reduces
+# Per-piece accumulator-update formulation for the flat 2D residual (same
+# layout, two device programs): 'carry' holds the [rbw, d] band window in the
+# scan carry and flushes it on band transitions (lax.cond; O(bands) window
+# traffic); 'rmw' re-reads/writes the window every piece (cond-free; O(pieces)
+# window traffic). Chip-measured comparison: docs/PERF.md "flat piece list".
+_BLOCKED2D_IMPL = os.environ.get("CUDA_GCN_TPU_BLOCKED2D_IMPL", "carry")
+
+
+def _piece_part(hp, w, rbw, c0, r, c, wgt, dtype):
+    """One piece's contribution: gather from the [c0, c0+w) window of the
+    activation table (~4 ns/row at <=32 MB windows, docs/PERF.md) and reduce
     into a SMALL [rbw+1, d] sorted segment-sum — never the full [n, d] output,
     which is the >=75 ns/edge materialization cliff at ~1M-row outputs
-    (docs/PERF.md "Beyond reddit", scripts/exp_stream4x.py: 110 -> 10 ns/edge,
-    width-independent). The accumulator is touched one dynamic-sliced [rbw, d]
-    window per band, carried across the inner scan. Padding edges land in
-    band-local segment ``rbw`` (dropped); accumulation is f32 regardless of
-    activation dtype."""
+    (docs/PERF.md "segment-output cliff"). Pad lanes land in local segment
+    ``rbw`` (dropped); accumulation is f32 regardless of activation dtype."""
+    sub = jax.lax.dynamic_slice_in_dim(hp, c0, w)
+    vals = sub[c] * wgt[:, None].astype(dtype)
+    part = jax.ops.segment_sum(vals.astype(jnp.float32), r,
+                               num_segments=rbw + 1, indices_are_sorted=True)
+    return part[:rbw]
+
+
+def _piece_scan(hp, acc, bk, rbw, w, dtype):
+    """Scan one PieceBucket's pieces into the accumulator (see _BLOCKED2D_IMPL)."""
+    xs = (bk.r0, bk.c0, bk.flush, bk.rows, bk.cols, bk.coef)
+    if _BLOCKED2D_IMPL == "rmw":
+        def step(acc, x):
+            r0, c0, _, r, c, wgt = x
+            part = _piece_part(hp, w, rbw, c0, r, c, wgt, dtype)
+            win = jax.lax.dynamic_slice_in_dim(acc, r0, rbw) + part
+            return jax.lax.dynamic_update_slice_in_dim(acc, win, r0, 0), None
+
+        acc, _ = jax.lax.scan(step, acc, xs)
+        return acc
+
+    win0 = jax.lax.dynamic_slice_in_dim(acc, bk.r0[0], rbw)
+
+    def step(carry, x):
+        acc, cur_r0, win = carry
+        r0, c0, flush, r, c, wgt = x
+
+        def do_flush(a, wn):
+            a = jax.lax.dynamic_update_slice_in_dim(a, wn, cur_r0, 0)
+            return a, jax.lax.dynamic_slice_in_dim(a, r0, rbw)
+
+        acc, win = jax.lax.cond(flush, do_flush, lambda a, wn: (a, wn), acc, win)
+        cur_r0 = jnp.where(flush, r0, cur_r0)
+        part = _piece_part(hp, w, rbw, c0, r, c, wgt, dtype)
+        return (acc, cur_r0, win + part), None
+
+    (acc, last_r0, win), _ = jax.lax.scan(step, (acc, bk.r0[0], win0), xs)
+    return jax.lax.dynamic_update_slice_in_dim(acc, win, last_r0, 0)
+
+
+def _blocked2d_apply(h, b2, n):
+    """Streaming residual aggregation over the flat bucketed piece list
+    (data/graph.py Blocked2DDev): one lax.scan per size bucket, pieces ordered
+    band-major so the accumulator window is loaded/flushed once per band (the
+    'carry' impl) instead of per piece. Window starts are pre-clamped at pack
+    time, so the activation table is never copied beyond 8-row alignment
+    (VERDICT round-2 weak #6: the old apply jnp.pad'ed the whole ~GB table
+    every pass)."""
     d = h.shape[1]
-    rbw, w = b2.rbw, b2.width
-    hp = jnp.pad(h, ((0, w), (0, 0)))
-
-    def band(acc, xs):
-        r0, cs, rr, cc, ww = xs
-
-        def col(win, ys):
-            c0, r, c, wgt = ys
-            sub = jax.lax.dynamic_slice_in_dim(hp, c0, w)
-            vals = sub[c] * wgt[:, None].astype(h.dtype)
-            part = jax.ops.segment_sum(vals.astype(jnp.float32), r,
-                                       num_segments=rbw + 1,
-                                       indices_are_sorted=True)
-            return win + part[:rbw], None
-
-        win0 = jax.lax.dynamic_slice_in_dim(acc, r0, rbw)
-        win, _ = jax.lax.scan(col, win0, (cs, rr, cc, ww))
-        return jax.lax.dynamic_update_slice_in_dim(acc, win, r0, 0), None
-
+    rbw, w, n_pad8 = b2.rbw, b2.width, b2.n_pad8
+    pad = n_pad8 - h.shape[0]
+    hp = jnp.pad(h, ((0, pad), (0, 0))) if pad else h
     # derive the zero carry from a graph leaf so its varying-axis type matches
-    # the scanned operands under shard_map (coef is finite by construction);
-    # acc is padded by rbw so the last band's window slice stays in bounds
-    zero = (b2.coef[0, 0, 0] * 0).astype(jnp.float32)
-    acc0 = jnp.zeros((n + rbw, d), jnp.float32) + zero
-    acc, _ = jax.lax.scan(
-        band, acc0, (b2.rstarts, b2.cstarts, b2.rows, b2.cols, b2.coef))
+    # the scanned operands under shard_map (coef is finite by construction)
+    zero = (b2.buckets[0].coef[0, 0] * 0).astype(jnp.float32)
+    acc = jnp.zeros((n_pad8, d), jnp.float32) + zero
+    for bk in b2.buckets:
+        acc = _piece_scan(hp, acc, bk, rbw, w, h.dtype)
     return acc[:n].astype(h.dtype)
 
 

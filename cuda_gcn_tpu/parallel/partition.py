@@ -31,17 +31,22 @@ import numpy as np
 
 from cuda_gcn_tpu.data.graph import (
     BLOCKED_RESID_MIN_NODES, BLOCKED_RESID_TARGET_BLK, BSR_DEFAULT_BUDGET_BYTES,
-    BSR_DEFAULT_DTYPE, BSR_DEFAULT_TILE, _blocked2d_pack_arrays, _np_dtype,
+    BSR_DEFAULT_DTYPE, BSR_DEFAULT_TILE, _blocked2d_pack_multi, _np_dtype,
     _select_bsr_tiles, normalization_coefficients)
 from cuda_gcn_tpu.data.parser import CSR
 
 
 @dataclasses.dataclass
 class PartitionedGraph:
-    """Host-side (numpy) stacked per-part arrays; leading axis = part."""
+    """Host-side (numpy) stacked per-part arrays; leading axis = part.
+
+    Parts own VARIABLE node ranges ``[starts[p], starts[p+1])`` (balance-aware
+    cuts, round 3); every SPMD shape stays uniform by padding each part's slab
+    to ``block`` = the max range span. ``pad_nodes`` maps a global per-node
+    array into the stacked [P*block] slab layout."""
 
     n_parts: int
-    block: int              # B = owned nodes per part (padded)
+    block: int              # B = owned-node slab rows per part (max span)
     n_nodes: int            # original (unpadded) node count
     emax: int               # edges per part (padded)
     # local COO per part, sorted by src; src in [0,B), dst in [0, B+halo_space)
@@ -52,6 +57,7 @@ class PartitionedGraph:
     t_src: np.ndarray       # [P, Emax] int32
     t_dst: np.ndarray       # [P, Emax] int32
     t_coef: np.ndarray      # [P, Emax] float32
+    starts: np.ndarray = None  # (P,) int64 first global node id of each part
     # Offset-bucketed halo exchange (P-1 ppermute rounds): send_secs[k-1][q]
     # = block-local row ids device q ships to (q+k)%P in round k, padded to
     # the per-offset max hmax_k[k-1]; receiver p's halo buffer is the
@@ -86,20 +92,14 @@ class PartitionedGraph:
     i_tile_cols: np.ndarray = None   # [P, Kmax]
     tb: int = 0                      # tile size (0 = no tiles)
     i_nblocks: int = 0               # ceil(block / tb)
-    # 2D-tiled interior residual (None fields = not built): row-band x
-    # column-window streaming layout (data/graph.py Blocked2DDev)
-    i_blk_rstarts: np.ndarray = None  # [P, nb]
-    i_blk_cstarts: np.ndarray = None  # [P, nb, nc]
-    i_blk_rows: np.ndarray = None     # [P, nb, nc, cap]
-    i_blk_cols: np.ndarray = None
-    i_blk_coef: np.ndarray = None
-    it_blk_rstarts: np.ndarray = None
-    it_blk_cstarts: np.ndarray = None
-    it_blk_rows: np.ndarray = None
-    it_blk_cols: np.ndarray = None
-    it_blk_coef: np.ndarray = None
-    blk_rbw: int = 0                 # static accumulator-window rows (max over parts)
-    blk_width: int = 0               # static gather-window width (max over parts)
+    # 2D-tiled interior residual (None = not built): flat bucketed piece list
+    # (data/graph.py Blocked2DDev), one dict per size bucket with arrays
+    # stacked [P, Pmax, ...] (uniform piece counts via dummy all-pad pieces)
+    i_blk: list = None               # fwd pieces: [{r0, c0, flush, rows, cols, coef}]
+    it_blk: list = None              # transpose pieces, same structure
+    blk_rbw: int = 0                 # static accumulator-window rows (shared)
+    blk_width: int = 0               # static gather-window width (shared)
+    blk_n_pad8: int = 0              # static activation-table rows (shared)
 
     @property
     def n_local(self) -> int:
@@ -110,57 +110,105 @@ class PartitionedGraph:
     def padded_nodes(self) -> int:
         return self.n_parts * self.block
 
+    @property
+    def bounds(self) -> np.ndarray:
+        """(P+1,) part node-range boundaries (starts + terminal n_nodes)."""
+        return np.append(self.starts, self.n_nodes)
+
     def pad_nodes(self, arr: np.ndarray, fill=0) -> np.ndarray:
-        """Pad a per-node array from n_nodes to P*B along axis 0."""
-        pad = self.padded_nodes - arr.shape[0]
-        if pad == 0:
-            return arr
-        widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
-        return np.pad(arr, widths, constant_values=fill)
+        """Lay a global per-node array out as the stacked [P*block] slab:
+        part p's rows land at [p*block, p*block + span_p), the rest is
+        ``fill`` (use fill=-1 for truth vectors so pad rows stay masked)."""
+        out = np.full((self.padded_nodes,) + arr.shape[1:], fill, dtype=arr.dtype)
+        b = self.bounds
+        for p in range(self.n_parts):
+            lo, hi = int(b[p]), int(b[p + 1])
+            out[p * self.block: p * self.block + (hi - lo)] = arr[lo:hi]
+        return out
 
 
 def _stack_blocked2d(fwd_resid, bwd_resid, block: int, blocked_blk: int) -> dict:
-    """2D-tile each part's interior residual (fwd + transpose, data/graph.py
-    _blocked2d_pack_arrays) and pad the per-part packings to uniform
-    [P, nb, nc, cap] shapes (SPMD needs one static program). Padded tiles/lanes
-    carry band-local segment id ``rbw`` (dropped) and coefficient 0; the static
-    window sizes (rbw, width) are maxima over parts and directions."""
-    packs = []
-    for triples in (fwd_resid, bwd_resid):
-        packs.append([_blocked2d_pack_arrays(r, c, w, block, blocked_blk)
-                      for (r, c, w) in triples])
-    if any(p is None for pp in packs for p in pp):
+    """Flat-piece-pack each part's interior residual (fwd + transpose) with
+    SHARED static geometry (data/graph.py _blocked2d_pack_multi) and stack the
+    per-bucket piece arrays to uniform [P, Pmax, cap] shapes (SPMD needs one
+    static program). Parts with fewer pieces in a bucket are padded with dummy
+    all-pad pieces (flush=False, coef 0 — they add zeros to whatever window is
+    current, in both apply formulations)."""
+    packed = _blocked2d_pack_multi(fwd_resid + bwd_resid, block, blocked_blk)
+    if packed is None:
         return {}
-    nb = max(len(p[0]) for pp in packs for p in pp)
-    nc = max(p[1].shape[1] for pp in packs for p in pp)
-    cap = max(p[2].shape[2] for pp in packs for p in pp)
-    rbw = max(p[5] for pp in packs for p in pp)
-    width = max(p[6] for pp in packs for p in pp)
-    out = {}
-    for name, pp in (("i_blk", packs[0]), ("it_blk", packs[1])):
-        P = len(pp)
-        rstarts = np.zeros((P, nb), dtype=np.int32)
-        cstarts = np.zeros((P, nb, nc), dtype=np.int32)
-        rows = np.full((P, nb, nc, cap), rbw, dtype=np.int32)
-        cols = np.zeros((P, nb, nc, cap), dtype=np.int32)
-        coef = np.zeros((P, nb, nc, cap), dtype=np.float32)
-        for p, (rst, cst, r, c, w, p_rbw, _) in enumerate(pp):
-            k, m, q = len(rst), cst.shape[1], r.shape[2]
-            rstarts[p, :k] = rst
-            cstarts[p, :k, :m] = cst
-            # per-part packs padded rows with their OWN rbw; remap to the max
-            r = np.where(r == p_rbw, rbw, r) if p_rbw != rbw else r
-            rows[p, :k, :m, :q] = r
-            cols[p, :k, :m, :q] = c
-            coef[p, :k, :m, :q] = w
-        out[f"{name}_rstarts"] = rstarts
-        out[f"{name}_cstarts"] = cstarts
-        out[f"{name}_rows"] = rows
-        out[f"{name}_cols"] = cols
-        out[f"{name}_coef"] = coef
-    out["blk_rbw"] = int(rbw)
-    out["blk_width"] = int(width)
+    per_part, rbw, width, n_pad8, caps = packed
+    n = len(fwd_resid)
+    out = {"blk_rbw": int(rbw), "blk_width": int(width),
+           "blk_n_pad8": int(n_pad8)}
+    for name, parts in (("i_blk", per_part[:n]), ("it_blk", per_part[n:])):
+        buckets = []
+        for cap in caps:
+            pmax = max((b["rows"].shape[0] for p in parts
+                        if (b := p.get(cap)) is not None), default=0)
+            if pmax == 0:
+                continue
+            stacked = dict(
+                r0=np.zeros((n, pmax), np.int32),
+                c0=np.zeros((n, pmax), np.int32),
+                flush=np.zeros((n, pmax), bool),
+                rows=np.full((n, pmax, cap), rbw, np.int32),
+                cols=np.zeros((n, pmax, cap), np.int32),
+                coef=np.zeros((n, pmax, cap), np.float32))
+            for p, part in enumerate(parts):
+                b = part.get(cap)
+                if b is None:
+                    continue
+                k = b["rows"].shape[0]
+                for key in stacked:
+                    stacked[key][p, :k] = b[key]
+            buckets.append(stacked)
+        out[name] = buckets
     return out
+
+
+def partition_cuts(indptr: np.ndarray, n_parts: int, balance: str = "edges",
+                   cluster_sizes: np.ndarray | None = None,
+                   snap_slack_frac: float = 0.08) -> np.ndarray:
+    """Choose the P node-range cut points (part p owns [cuts[p], cuts[p+1])).
+
+    ``balance='nodes'``: the round-1/2 fixed equal-node blocks. Weakness
+    (VERDICT round-2 weak #4): on power-law graphs they slice through the LPA
+    cluster tail — at 16x-reddit P=8 the tail parts carried 2x the boundary
+    fraction and edge balance hit 1.16, so the slowest part set the pace.
+
+    ``balance='edges'`` (default): cuts at per-part EDGE-count quantiles
+    (variable node ranges, edge balance ~1.0 by construction), each cut then
+    snapped to the nearest LPA cluster boundary when that moves fewer than
+    ``snap_slack_frac`` of a part's edges — a cut on a community boundary
+    turns intra-cluster edges back into interior edges (SURVEY.md §7 hard
+    part #3)."""
+    n = len(indptr) - 1
+    if balance == "nodes" or n_parts == 1:
+        block = -(-n // n_parts)
+        return np.arange(n_parts, dtype=np.int64) * block
+    cum = indptr.astype(np.int64)  # indptr IS the cumulative edge count
+    m = int(cum[-1])
+    targets = (np.arange(1, n_parts) * m) // n_parts
+    interior = np.searchsorted(cum, targets, side="left").astype(np.int64)
+    if cluster_sizes is not None and len(cluster_sizes) > 1:
+        bnds = np.cumsum(np.asarray(cluster_sizes, dtype=np.int64))[:-1]
+        slack = snap_slack_frac * m / n_parts
+        snapped = []
+        for c in interior:
+            j = int(np.searchsorted(bnds, c))
+            cands = [int(bnds[k]) for k in (j - 1, j) if 0 <= k < len(bnds)]
+            best = min(cands, key=lambda b: abs(int(cum[b]) - int(cum[c])),
+                       default=int(c))
+            snapped.append(best if abs(int(cum[best]) - int(cum[c])) <= slack
+                           else int(c))
+        interior = np.asarray(snapped, dtype=np.int64)
+    interior = np.clip(interior, 1, n - 1)
+    interior = np.maximum.accumulate(interior)
+    for i in range(1, len(interior)):  # dedupe degenerate collisions
+        if interior[i] <= interior[i - 1]:
+            interior[i] = min(interior[i - 1] + 1, n - 1)
+    return np.concatenate([[0], interior])
 
 
 def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
@@ -169,8 +217,11 @@ def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
                     bsr_budget_bytes: int | None = BSR_DEFAULT_BUDGET_BYTES,
                     bsr_dtype: str = BSR_DEFAULT_DTYPE,
                     blocked_blk: int = BLOCKED_RESID_TARGET_BLK,
-                    blocked_min_nodes: int = BLOCKED_RESID_MIN_NODES) -> PartitionedGraph:
-    """Partition a parsed adjacency CSR (self-loops included) into n_parts blocks.
+                    blocked_min_nodes: int = BLOCKED_RESID_MIN_NODES,
+                    balance: str = "edges",
+                    cluster_sizes: np.ndarray | None = None) -> PartitionedGraph:
+    """Partition a parsed adjacency CSR (self-loops included) into n_parts
+    node-range parts (cut selection: ``partition_cuts``).
 
     With ``interior_tiles``, each part's square interior sub-adjacency gets the
     single-chip 'bsr' treatment (data/graph.py): its densest [tb, tb] blocks
@@ -185,14 +236,16 @@ def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
     src = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
     dst = indices
 
-    block = -(-n // n_parts)  # ceil
+    starts = partition_cuts(indptr, n_parts, balance, cluster_sizes)
+    bounds = np.append(starts, n)
+    block = int((bounds[1:] - bounds[:-1]).max())  # uniform SPMD slab rows
 
     # --- halo needs, ONE owner-sort pass: src is CSR-sorted so each part's
     # edges are a contiguous slice (no O(P^2) full-edge boolean scans — the
     # round-1 partitioner rescanned all edges per (p, q) pair); per part, one
     # unique over (dst_owner, dst) yields every peer's needed list at once.
-    d_owner = dst // block
-    band_st = np.searchsorted(src, np.arange(n_parts, dtype=np.int64) * block)
+    d_owner = np.searchsorted(starts, dst, side="right") - 1
+    band_st = np.searchsorted(src, starts)
     band_en = np.append(band_st[1:], len(src))
     needed: dict[tuple[int, int], np.ndarray] = {}
     for p in range(n_parts):
@@ -225,7 +278,7 @@ def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
         for q in range(n_parts):
             ids = needed.get(((q + k) % n_parts, q))  # q sends to q + k
             if ids is not None:
-                sec[q, : len(ids)] = (ids - q * block).astype(np.int32)
+                sec[q, : len(ids)] = (ids - starts[q]).astype(np.int32)
         send_secs.append(sec)
 
     # --- per-part local edge lists with halo-remapped dst
@@ -242,7 +295,7 @@ def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
 
     for p in range(n_parts):
         sl = slice(int(band_st[p]), int(band_en[p]))
-        s = (src[sl] - p * block).astype(np.int32)
+        s = (src[sl] - starts[p]).astype(np.int32)
         d_glob = dst[sl]
         c = coef[sl]
         d_own = d_owner[sl]
@@ -250,7 +303,7 @@ def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
         # ring-offset section at their position in needed[(p, q)]
         d_loc = np.empty(len(d_glob), dtype=np.int32)
         own = d_own == p
-        d_loc[own] = (d_glob[own] - p * block).astype(np.int32)
+        d_loc[own] = (d_glob[own] - starts[p]).astype(np.int32)
         for q in np.unique(d_own[~own]):
             m = d_own == q
             k_off = (p - q) % n_parts
@@ -370,7 +423,7 @@ def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
         blk_kwargs = _stack_blocked2d(fwd_resid, bwd_resid, block, blocked_blk)
 
     return PartitionedGraph(
-        n_parts=n_parts, block=block, n_nodes=n, emax=emax,
+        n_parts=n_parts, block=block, n_nodes=n, emax=emax, starts=starts,
         hmax_k=hmax_k, off_start=off_start.astype(np.int64),
         halo_space=halo_space,
         src=src_l, dst=dst_l, coef=coef_l,

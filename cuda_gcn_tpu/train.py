@@ -211,6 +211,8 @@ def run_chunked_loop(run_one, epochs: int, chunk: int | None, nnz: int,
     early-stopping runners so the policy exists exactly once.
 
     Returns (metrics [4 x np.ndarray], stopped)."""
+    if epochs <= 0:  # public policy helper: callers may pass epochs=0 (ADVICE round-2)
+        return [np.zeros(0, np.float32) for _ in range(4)], False
     est = _estimate_epoch_seconds(nnz) * passes_per_epoch / 4
     probe = chunk is None and est > _PROBE_ABOVE_EST_SECONDS
     if chunk is None:

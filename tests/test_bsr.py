@@ -114,12 +114,12 @@ def test_bsr_budget_caps_tiles(clustered):
 
 
 def test_blocked_residual_matches_oracle(clustered):
-    """Column-blocked residual windows (blk_fwd/blk_bwd) stay exact, fwd + vjp."""
+    """Flat-piece residual layout (blk_fwd/blk_bwd) stays exact, fwd + vjp."""
     ds, h = clustered
     g = bsr_graph(ds.graph, bsr_min_edges=64, blocked_blk=32, blocked_min_nodes=0)
     assert g.blk_fwd is not None and g.blk_bwd is not None
-    assert g.blk_fwd.rows.shape[0] > 1  # multiple row bands
-    assert g.blk_fwd.rows.shape[1] > 1  # multiple column windows per band
+    assert sum(b.rows.shape[0] for b in g.blk_fwd.buckets) > 1  # multiple pieces
+    assert bool(np.asarray(g.blk_fwd.buckets[0].flush).any())   # multiple bands
     expected = oracle.graphsum_forward(ds.graph.indptr, ds.graph.indices,
                                        h.astype(np.float64))
     got = np.asarray(graphsum(jnp.asarray(h), g))
@@ -156,25 +156,75 @@ def test_tile_einsum_chunked_matches_unchunked(clustered, monkeypatch):
 
 
 def test_blocked_pack_covers_all_edges(clustered):
-    """Every residual edge appears exactly once across the 2D tiles; padding is
-    confined to coef==0 lanes with band-local row id rbw."""
+    """Every residual edge appears exactly once across the flat pieces;
+    padding is confined to coef==0 lanes with window-local row id rbw."""
     ds, _ = clustered
     g = bsr_graph(ds.graph, bsr_min_edges=64, blocked_blk=32, blocked_min_nodes=0)
     bc = g.blk_fwd
-    rstarts = np.asarray(bc.rstarts)
-    cstarts = np.asarray(bc.cstarts)
-    rows = np.asarray(bc.rows)
-    cols = np.asarray(bc.cols)
-    coef = np.asarray(bc.coef)
-    real = rows != bc.rbw
-    # reconstruct global (row, col, coef) triples and compare to the flat COO
-    grows = (rows + rstarts[:, None, None])[real]
-    gcols = (cols + cstarts[:, :, None])[real]
-    triples = sorted(zip(grows.tolist(), gcols.tolist(), coef[real].tolist()))
+    triples = []
+    for bk in bc.buckets:
+        rows = np.asarray(bk.rows)
+        cols = np.asarray(bk.cols)
+        coef = np.asarray(bk.coef)
+        r0 = np.asarray(bk.r0)
+        c0 = np.asarray(bk.c0)
+        real = rows != bc.rbw
+        grows = (rows + r0[:, None])[real]
+        gcols = (cols + c0[:, None])[real]
+        triples += list(zip(grows.tolist(), gcols.tolist(), coef[real].tolist()))
+        assert np.all(coef[~real] == 0.0)
     flat = sorted(zip(np.asarray(g.src).tolist(), np.asarray(g.dst).tolist(),
                       np.asarray(g.coef).tolist()))
-    assert triples == flat
-    assert np.all(coef[~real] == 0.0)
+    assert sorted(triples) == flat
+
+
+def test_blocked_pack_padding_bounded_on_skew():
+    """VERDICT round-2 directive #1: the flat bucketed pack must keep padded
+    slots <= 1.3x real edges on a skewed (hub + sparse tail) residual — the
+    round-2 rectangle measured ~2.2x on this shape class at 8x-reddit."""
+    from cuda_gcn_tpu.data.graph import _blocked2d_pack, blocked2d_stats
+
+    rng = np.random.default_rng(1)
+    n, m = 200_000, 400_000
+    # hub rows and hub cols hold ~35% of edges; a sparse tail spans the last
+    # quarter of the node range at ~100x lower density (the 8x skew character)
+    hub_rows = rng.integers(0, 50, m // 5).astype(np.int64)
+    body_rows = rng.integers(0, 3 * n // 4, m - m // 5 - m // 20).astype(np.int64)
+    tail_rows = rng.integers(3 * n // 4, n, m // 20).astype(np.int64)
+    rows = np.sort(np.concatenate([hub_rows, body_rows, tail_rows]))
+    hub_cols = rng.integers(0, 50, m // 5)
+    other_cols = rng.integers(0, n, m - m // 5)
+    cols = np.concatenate([hub_cols, other_cols])[rng.permutation(m)].astype(np.int64)
+    coef = rng.random(m).astype(np.float32)
+    b2 = _blocked2d_pack(rows, cols, coef, n, target_blk=4096)
+    stats = blocked2d_stats(b2)
+    assert stats["real_edges"] == m
+    assert stats["pad_ratio"] <= 1.3, f"pad ratio {stats['pad_ratio']} > 1.3"
+
+
+@pytest.mark.parametrize("impl", ["carry", "rmw"])
+def test_blocked2d_apply_impls_exact(impl, monkeypatch):
+    """Both per-piece accumulator formulations (carried-window flush and
+    unconditional read-modify-write) must be exact on a multi-band multi-bucket
+    layout."""
+    import importlib
+
+    gs = importlib.import_module("cuda_gcn_tpu.ops.graphsum")
+    from cuda_gcn_tpu.data.graph import _blocked2d_pack
+
+    monkeypatch.setattr(gs, "_BLOCKED2D_IMPL", impl)
+    rng = np.random.default_rng(9)
+    n, m = 2000, 30000
+    rows = np.sort(rng.integers(0, n, m).astype(np.int64))
+    cols = rng.integers(0, n, m).astype(np.int64)
+    coef = rng.random(m).astype(np.float32)
+    b2 = _blocked2d_pack(rows, cols, coef, n, target_blk=128)
+    assert len(b2.buckets) >= 1
+    h = rng.standard_normal((n, 8)).astype(np.float32)
+    got = np.asarray(gs._blocked2d_apply(jnp.asarray(h), b2, n))
+    expected = np.zeros((n, 8), np.float64)
+    np.add.at(expected, rows, coef[:, None].astype(np.float64) * h[cols])
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=2e-4)
 
 
 def test_label_propagation_finds_planted_communities():

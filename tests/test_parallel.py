@@ -21,9 +21,10 @@ def mesh(request):
     return sharded.make_mesh(request.param)
 
 
-def test_partition_covers_all_edges(tiny_dataset):
+@pytest.mark.parametrize("balance", ["nodes", "edges"])
+def test_partition_covers_all_edges(tiny_dataset, balance):
     ds = tiny_dataset
-    pg = partition_graph(ds.graph, 4)
+    pg = partition_graph(ds.graph, 4, balance=balance)
     # every real edge appears exactly once across parts with its coefficient
     total_real = int((pg.coef > 0).sum())
     assert total_real == ds.graph.nnz
@@ -34,10 +35,10 @@ def test_partition_covers_all_edges(tiny_dataset):
             c = pg.coef[p, e]
             if c == 0:
                 continue
-            gsrc = pg.src[p, e] + p * pg.block
+            gsrc = pg.src[p, e] + pg.starts[p]
             dloc = pg.dst[p, e]
             if dloc < pg.block:
-                gdst = dloc + p * pg.block
+                gdst = dloc + pg.starts[p]
             else:
                 # recover from the offset-section send structure: section k
                 # holds rows shipped by sender q = (p - k) % P in round k
@@ -45,13 +46,44 @@ def test_partition_covers_all_edges(tiny_dataset):
                 k = int(np.searchsorted(pg.off_start, off, side="right"))
                 pos = off - pg.off_start[k - 1]
                 q = (p - k) % pg.n_parts
-                gdst = pg.send_secs[k - 1][q, pos] + q * pg.block
+                gdst = pg.send_secs[k - 1][q, pos] + pg.starts[q]
             got.add((int(gsrc), int(gdst)))
     expected = set()
     for i in range(ds.num_nodes):
         for e in range(ds.graph.indptr[i], ds.graph.indptr[i + 1]):
             expected.add((i, int(ds.graph.indices[e])))
     assert got == expected
+
+
+def test_edge_balanced_cuts_with_cluster_snap():
+    """partition_cuts('edges') must tighten edge balance vs fixed node blocks
+    on a skewed-degree graph, and snap cuts onto cluster boundaries when that
+    costs little balance (VERDICT round-2 directive #4)."""
+    from cuda_gcn_tpu.parallel.partition import partition_cuts
+
+    rng = np.random.default_rng(0)
+    n = 4000
+    # skewed degrees: first decile of nodes 10x denser than the tail
+    deg = np.where(np.arange(n) < n // 10, 40, 4) + rng.integers(0, 3, n)
+    indptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+
+    def balance_of(cuts):
+        b = np.append(cuts, n)
+        edges = np.array([indptr[b[i + 1]] - indptr[b[i]] for i in range(len(cuts))])
+        return edges.max() / edges.mean()
+
+    cuts_nodes = partition_cuts(indptr, 8, balance="nodes")
+    cuts_edges = partition_cuts(indptr, 8, balance="edges")
+    assert balance_of(cuts_edges) <= 1.05 < balance_of(cuts_nodes)
+
+    # cluster boundaries near the quantile cuts: cuts must land exactly on them
+    sizes = np.diff(np.concatenate([[0], np.sort(cuts_edges[1:] + 7), [n]]))
+    cuts_snap = partition_cuts(indptr, 8, balance="edges", cluster_sizes=sizes)
+    bnds = set(np.cumsum(sizes)[:-1].tolist())
+    assert all(int(c) in bnds for c in cuts_snap[1:])
+    assert balance_of(cuts_snap) <= 1.10
+    # strictly increasing and in range always
+    assert (np.diff(cuts_snap) > 0).all() and cuts_snap[0] == 0
 
 
 def test_sharded_forward_matches_single(tiny_dataset, mesh):
@@ -92,7 +124,7 @@ def test_sharded_tiled_interior_matches_single(tiny_dataset):
                          bsr_min_edges=4, bsr_dtype="float32",
                          blocked_blk=16, blocked_min_nodes=0)
     assert pg.i_tiles is not None and pg.i_tiles.shape[1] > 0
-    assert pg.i_blk_rows is not None
+    assert pg.i_blk is not None and len(pg.i_blk) > 0
     # i_* now hold only the residual: fewer interior edges than total
     assert int((pg.i_coef > 0).sum()) < int((pg.coef > 0).sum())
     inputs = sharded.make_sharded_inputs(pg, ds.dense_features(), mesh2)
@@ -251,3 +283,74 @@ def test_run_sharded_matches_single_device_run(tiny_dataset):
     for a, b in zip(r_shard.history, r_single.history):
         np.testing.assert_allclose(a["train_loss"], b["train_loss"], rtol=1e-5)
         np.testing.assert_allclose(a["val_loss"], b["val_loss"], rtol=1e-5)
+
+
+def test_sharded_es_on_device_matches_stepwise(tiny_dataset):
+    """The sharded ON-DEVICE early-stopping while_loop (VERDICT round-2
+    directive #7) must stop at the same epoch and produce equivalent metrics
+    as a stepwise sharded train_step+eval loop applying the reference's ES
+    rule (gcn.cpp:142-150), including across chunk boundaries."""
+    mesh2 = sharded.make_mesh(2)
+    cfg = GCNConfig(hidden_dim=8, epochs=60, early_stopping=4, seed=0,
+                    learning_rate=0.6)
+    cfg2, inputs, truths = sharded.prepare_sharded(cfg, tiny_dataset, mesh2)
+    train_step = sharded.make_sharded_train_step(mesh2, cfg2)
+    eval_step = sharded.make_sharded_eval_step(mesh2, cfg2)
+
+    state = train_mod.create_state(cfg2)
+    hist, losses, stop_at = [], [], None
+    for epoch in range(1, cfg2.epochs + 1):
+        state, tl, ta = train_step(state, inputs, truths[1])
+        vl, va = eval_step(state.params, inputs, truths[2])
+        tl, ta, vl, va = map(float, (tl, ta, vl, va))
+        hist.append((tl, ta, vl, va))
+        losses.append(vl)
+        if epoch >= 4 and vl > sum(losses[epoch - 4:epoch]) / 4:
+            stop_at = epoch
+            break
+    assert stop_at is not None and stop_at < cfg2.epochs  # ES actually fires
+
+    st = train_mod.create_state(cfg2)
+    st, m, stopped = sharded.run_sharded_epochs_es_chunked(
+        mesh2, cfg2, st, inputs, truths[1], truths[2],
+        epochs=cfg2.epochs, es_window=4, chunk=3)
+    assert stopped and len(m[0]) == stop_at
+    np.testing.assert_allclose(np.stack(m, 1), np.array(hist),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_run_sharded_early_stopping_full_loop(tiny_dataset):
+    """run_sharded with early stopping must use the fused on-device path and
+    report the truncated history (parity with train.run's ES output)."""
+    mesh2 = sharded.make_mesh(2)
+    cfg = GCNConfig(hidden_dim=8, epochs=60, early_stopping=4, seed=0,
+                    learning_rate=0.6, dropout=0.0)
+    r_single = train_mod.run(cfg, tiny_dataset, verbose=False)
+    r_shard = sharded.run_sharded(cfg, tiny_dataset, mesh2, verbose=False)
+    assert r_shard.epochs_run == r_single.epochs_run < cfg.epochs
+    np.testing.assert_allclose(r_shard.test_loss, r_single.test_loss, rtol=1e-5)
+
+
+def test_run_sharded_initial_state_checkpoint(tiny_dataset, tmp_path):
+    """--load-checkpoint under --mesh (VERDICT round-2 directive #7): a state
+    saved from a single-chip run must restore into the sharded runner and
+    continue training from those weights (first-epoch loss well below a
+    fresh run's)."""
+    from cuda_gcn_tpu.utils.checkpoint import restore_state, save_state
+
+    mesh2 = sharded.make_mesh(2)
+    cfg = GCNConfig(hidden_dim=8, epochs=8, seed=0, dropout=0.0)
+    r1 = train_mod.run(cfg, tiny_dataset, verbose=False)
+    path = str(tmp_path / "ckpt.npz")
+    save_state(path, r1.state)
+
+    cfg2 = tiny_dataset.apply_config(cfg)
+    template = train_mod.create_state(cfg2)
+    restored = restore_state(path, like=template)
+    r_fresh = sharded.run_sharded(cfg, tiny_dataset, mesh2, verbose=False)
+    r_warm = sharded.run_sharded(cfg, tiny_dataset, mesh2, verbose=False,
+                                 initial_state=restored)
+    assert r_warm.history[0]["train_loss"] < r_fresh.history[0]["train_loss"]
+    np.testing.assert_allclose(
+        r_warm.history[0]["train_loss"],
+        r1.history[-1]["train_loss"], rtol=0.2)
