@@ -249,9 +249,11 @@ def _blocked2d_plan(rows: np.ndarray, cols: np.ndarray, n: int,
     rspan_max = max(int(rows[band_st[b + 1] - 1]) - int(rows[band_st[b]]) + 1
                     for b in range(nb))
     if target_e is None:
-        # pieces must be big enough to amortize the fixed per-piece cost
-        # (~rbw segment-output rows): at least one band span of edges
-        target_e = max(-(-m // (nb * nb_t)), _ceil8(rspan_max), 1)
+        # pieces must be big enough to amortize the fixed per-piece cost —
+        # the [rbw+1, d] segment output (~1.5 ns/row) and, in the cond-free
+        # 'rmw' apply, the accumulator-window read+write (~1 KB/row): 4 band
+        # spans of edges puts both at a few percent of piece gather work
+        target_e = max(-(-m // (nb * nb_t)), 4 * _ceil8(rspan_max), 1)
     pieces = []
     rspan = cspan = 1
     for b in range(nb):

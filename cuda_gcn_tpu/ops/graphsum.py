@@ -73,11 +73,14 @@ def _ell_apply(h, buckets, n):
 
 
 # Per-piece accumulator-update formulation for the flat 2D residual (same
-# layout, two device programs): 'carry' holds the [rbw, d] band window in the
-# scan carry and flushes it on band transitions (lax.cond; O(bands) window
-# traffic); 'rmw' re-reads/writes the window every piece (cond-free; O(pieces)
-# window traffic). Chip-measured comparison: docs/PERF.md "flat piece list".
-_BLOCKED2D_IMPL = os.environ.get("CUDA_GCN_TPU_BLOCKED2D_IMPL", "carry")
+# layout, two device programs): 'rmw' (default) re-reads/writes the [rbw, d]
+# window every piece — cond-free, and with pieces sized >=4 band spans the
+# window traffic is a few percent; 'carry' holds the window in the scan carry
+# and flushes on band transitions via lax.cond — ~10% faster per edge on
+# skewed residuals, but the cond TRIPLES the fused-loop compile time on this
+# toolchain (reddit warmup 736 s vs 249 s) and cost ~13% end-to-end runtime.
+# Chip-measured comparison: docs/PERF.md "flat piece list".
+_BLOCKED2D_IMPL = os.environ.get("CUDA_GCN_TPU_BLOCKED2D_IMPL", "rmw")
 
 
 def _piece_part(hp, w, rbw, c0, r, c, wgt, dtype):
