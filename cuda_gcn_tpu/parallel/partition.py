@@ -219,7 +219,8 @@ def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
                     blocked_blk: int = BLOCKED_RESID_TARGET_BLK,
                     blocked_min_nodes: int = BLOCKED_RESID_MIN_NODES,
                     balance: str = "edges",
-                    cluster_sizes: np.ndarray | None = None) -> PartitionedGraph:
+                    cluster_sizes: np.ndarray | None = None,
+                    cuts: np.ndarray | None = None) -> PartitionedGraph:
     """Partition a parsed adjacency CSR (self-loops included) into n_parts
     node-range parts (cut selection: ``partition_cuts``).
 
@@ -236,7 +237,11 @@ def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
     src = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
     dst = indices
 
-    starts = partition_cuts(indptr, n_parts, balance, cluster_sizes)
+    if cuts is not None:  # caller-chosen cuts (e.g. reorder.partition_aware_order)
+        starts = np.asarray(cuts, dtype=np.int64)
+        assert len(starts) == n_parts and starts[0] == 0
+    else:
+        starts = partition_cuts(indptr, n_parts, balance, cluster_sizes)
     bounds = np.append(starts, n)
     block = int((bounds[1:] - bounds[:-1]).max())  # uniform SPMD slab rows
 

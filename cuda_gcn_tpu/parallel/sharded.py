@@ -455,15 +455,20 @@ def prepare_sharded(cfg: GCNConfig, dataset: GCNDataset, mesh: Mesh,
     power-law graphs (SURVEY.md §7 hard part #3); training metrics are
     permutation-invariant."""
     cfg = dataset.apply_config(cfg)
-    if cfg.reorder != "none":
-        from cuda_gcn_tpu.data.reorder import locality_permutation, reorder_dataset
-
-        perm, cluster_sizes = locality_permutation(dataset.graph,
-                                                   return_cluster_sizes=True)
-        dataset = reorder_dataset(dataset, perm).dataset
-        # balance-aware cuts snap to these cluster boundaries (partition_cuts)
-        partition_kwargs.setdefault("cluster_sizes", cluster_sizes)
     n_parts = mesh.shape[GRAPH_AXIS]
+    if cfg.reorder != "none":
+        from cuda_gcn_tpu.data.reorder import (label_propagation,
+                                               partition_aware_order,
+                                               reorder_dataset)
+
+        # P-aware cluster layout: clusters greedy-packed into P equal-edge
+        # bins (tail clusters spread, not piled on the last part) and laid
+        # out contiguously; the part cuts fall exactly on bin boundaries
+        labels = label_propagation(dataset.graph.indptr, dataset.graph.indices)
+        deg = np.diff(dataset.graph.indptr.astype(np.int64))
+        perm, cuts = partition_aware_order(labels, n_parts, weights=deg)
+        dataset = reorder_dataset(dataset, perm).dataset
+        partition_kwargs.setdefault("cuts", cuts)
     block = -(-dataset.num_nodes // n_parts)
     from cuda_gcn_tpu.data.graph import DENSE_BACKEND_MAX_NODES
 

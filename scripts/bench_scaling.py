@@ -53,23 +53,29 @@ def main() -> int:
     from cuda_gcn_tpu.parallel.partition import partition_graph
     from cuda_gcn_tpu import train as train_mod
 
-    ds, name = load_bench_dataset(args.dataset, "data")
-    # locality-reorder ONCE up front (prepare_sharded would otherwise redo it
-    # per mesh size); partition quality stats below then match what runs.
-    from cuda_gcn_tpu.data.reorder import locality_permutation, reorder_dataset
+    ds0, name = load_bench_dataset(args.dataset, "data")
+    # LPA labels computed once; the cluster LAYOUT is per-P (tail clusters
+    # greedy-spread across parts, reorder.partition_aware_order), so the
+    # dataset is relabeled inside the P loop below.
+    from cuda_gcn_tpu.data.reorder import (label_propagation,
+                                           partition_aware_order,
+                                           reorder_dataset)
 
-    perm, cluster_sizes = locality_permutation(ds.graph, return_cluster_sizes=True)
-    ds = reorder_dataset(ds, perm).dataset
-    nnz = ds.graph.nnz
-    print(f"{name}: n={ds.num_nodes} nnz={nnz} devices={jax.device_count()} "
+    labels = label_propagation(ds0.graph.indptr, ds0.graph.indices)
+    degrees = np.diff(ds0.graph.indptr.astype(np.int64))
+    nnz = ds0.graph.nnz
+    print(f"{name}: n={ds0.num_nodes} nnz={nnz} devices={jax.device_count()} "
           f"platform={jax.devices()[0].platform}", file=sys.stderr, flush=True)
 
     results = []
     for p in (int(s) for s in args.parts.split(",")):
-        if p > jax.device_count():
+        if not args.stats_only and p > jax.device_count():
+            # stats-only runs never touch a device; any P is computable
             print(f"skip P={p}: only {jax.device_count()} devices", file=sys.stderr)
             continue
-        pg = partition_graph(ds.graph, p, cluster_sizes=cluster_sizes)
+        perm, cuts = partition_aware_order(labels, p, weights=degrees)
+        ds = reorder_dataset(ds0, perm).dataset
+        pg = partition_graph(ds.graph, p, cuts=cuts)
         # --- partition-quality stats (VERDICT round-1 item 4): per-part halo
         # fraction, padded-vs-actual send volume (hmax blow-up), edge balance
         real_edges = (pg.coef > 0).sum(axis=1)          # [P]
@@ -99,9 +105,11 @@ def main() -> int:
                   f"balance={stats['edge_balance']}", file=sys.stderr, flush=True)
             continue
         mesh = sharded.make_mesh(p)
-        cfg = GCNConfig(epochs=args.epochs, seed=0, reorder="none",
+        # prepare_sharded applies the SAME P-aware cluster layout internally
+        # (labels recomputed; deterministic), so the stats above match it
+        cfg = GCNConfig(epochs=args.epochs, seed=0,
                         graphsum_backend="segment" if args.interior == "segment" else "auto")
-        cfg, inputs, truths = sharded.prepare_sharded(cfg, ds, mesh)
+        cfg, inputs, truths = sharded.prepare_sharded(cfg, ds0, mesh)
         run = sharded.make_sharded_run_epochs(mesh, cfg)
         state = train_mod.create_state(cfg)
         # warmup/compile (chunked: bounds device-program runtime on the tunnel)
@@ -129,7 +137,7 @@ def main() -> int:
             r["scaling_efficiency"] = round(r["edges_per_s"] / (base * r["parts"]), 3)
     payload = {"dataset": name, "epochs": args.epochs,
                "platform": jax.devices()[0].platform,
-               "n_nodes": ds.num_nodes, "nnz": nnz, "results": results}
+               "n_nodes": ds0.num_nodes, "nnz": nnz, "results": results}
     if jax.devices()[0].platform != "tpu" and any("seconds" in r for r in results):
         # the caveat must live IN the artifact, not just in this docstring
         # (VERDICT round-2 weak #3): a reader of the JSON alone must not

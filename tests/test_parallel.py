@@ -354,3 +354,37 @@ def test_run_sharded_initial_state_checkpoint(tiny_dataset, tmp_path):
     np.testing.assert_allclose(
         r_warm.history[0]["train_loss"],
         r1.history[-1]["train_loss"], rtol=0.2)
+
+
+def test_partition_aware_order_spreads_tail_clusters():
+    """reorder.partition_aware_order must (a) be a valid permutation with
+    cuts on part boundaries, (b) balance per-part edge weight, and (c) spread
+    the tiny-cluster tail across parts instead of piling it on the last part
+    (the 16x-reddit P=8 boundary-spread pathology, VERDICT round-2 weak #4)."""
+    from cuda_gcn_tpu.data.reorder import partition_aware_order
+
+    rng = np.random.default_rng(2)
+    # 4 big clusters + 200 tiny ones
+    labels = np.concatenate([
+        np.repeat(np.arange(4), 800),
+        np.repeat(np.arange(4, 204), 6),
+    ])
+    labels = labels[rng.permutation(len(labels))]
+    weights = rng.integers(1, 10, len(labels)).astype(np.int64)
+    p = 4
+    perm, cuts = partition_aware_order(labels, p, weights=weights)
+    n = len(labels)
+    assert sorted(perm.tolist()) == list(range(n))
+    assert cuts[0] == 0 and (np.diff(cuts) > 0).all() and len(cuts) == p
+    new_labels = labels[perm]
+    bounds = np.append(cuts, n)
+    w_new = weights[perm]
+    loads = [w_new[bounds[i]:bounds[i + 1]].sum() for i in range(p)]
+    assert max(loads) / (sum(loads) / p) < 1.1  # edge-weight balanced
+    # clusters never straddle a cut
+    for c in bounds[1:-1]:
+        assert new_labels[c - 1] != new_labels[c]
+    # tiny clusters present in EVERY part
+    tiny = set(range(4, 204))
+    for i in range(p):
+        assert tiny & set(new_labels[bounds[i]:bounds[i + 1]].tolist())
