@@ -98,6 +98,10 @@ def main() -> int:
     ap.add_argument("--backend", default="auto",
                     choices=["segment", "ell", "pallas", "dense", "bsr", "auto"])
     ap.add_argument("--compute-dtype", default="float32")
+    ap.add_argument("--feature-matmul", default="dense", choices=["dense", "sparse"],
+                    help="layer-0 input matmul: dense MXU table, or CSR values "
+                         "(reference-style; the only way 16x fits one chip — "
+                         "docs/PERF.md '16x-reddit')")
     ap.add_argument("--data-dir", default="data")
     ap.add_argument("--compilation-cache", default=os.path.join(CACHE_DIR, "xla"),
                     help="persistent XLA compile-cache dir ('' disables)")
@@ -121,7 +125,8 @@ def main() -> int:
     if backend == "bsr":
         dataset = maybe_reorder_cached(dataset, name)
     cfg = GCNConfig(epochs=args.epochs, graphsum_backend=backend, reorder=reorder,
-                    compute_dtype=args.compute_dtype, seed=0)
+                    compute_dtype=args.compute_dtype, seed=0,
+                    feature_matmul=args.feature_matmul)
     cfg, graph, x, truths = train_mod.prepare(cfg, dataset)
     log(f"device: {jax.devices()[0]}; backend={graph.backend}; "
         f"nnz={graph.nnz}; dims={cfg.layer_dims()}")
@@ -194,6 +199,7 @@ def main() -> int:
         "vs_baseline": round(vs, 3) if np.isfinite(vs) else None,
         "detail": {
             "backend": graph.backend,
+            "feature_matmul": cfg.feature_matmul,
             "compile_s": round(compile_s, 2),
             "ms_per_epoch": round(train_s / args.epochs * 1000, 3),
             "spmm_edge_passes_per_s": round(edges_per_s),

@@ -368,9 +368,15 @@ def prepare(cfg: GCNConfig, dataset: GCNDataset):
 
         perm = locality_permutation(dataset.graph)
         dataset = reorder_dataset(dataset, perm).dataset
-    # lane-padded dense feature bytes: declared to the tile-budget model so
-    # huge graphs leave HBM room for x (data/graph.py auto_tile_budget)
-    feat_bytes = dataset.num_nodes * (-(-cfg.input_dim // 128) * 128) * 4
+    # feature-table bytes, declared to the tile-budget model so huge graphs
+    # leave HBM room for x (data/graph.py auto_tile_budget): lane-padded dense
+    # [N, pad128(F)] f32, or the COO triple (val+row+col) on the sparse path —
+    # the 12x gap at 16x-reddit (0.78 vs 9.5 GB) is what moves the single-chip
+    # wall (docs/PERF.md "16x-reddit")
+    if cfg.feature_matmul == "sparse":
+        feat_bytes = int(dataset.feature_value.shape[0]) * 12
+    else:
+        feat_bytes = dataset.num_nodes * (-(-cfg.input_dim // 128) * 128) * 4
     graph = build_graph(dataset.graph, backend=backend, aux_bytes=feat_bytes)
     if cfg.feature_matmul == "sparse":
         from cuda_gcn_tpu.ops.matmul import SparseFeatures
