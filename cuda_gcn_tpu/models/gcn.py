@@ -23,7 +23,8 @@ from cuda_gcn_tpu.data.graph import Graph
 from cuda_gcn_tpu.ops.dropout import dropout
 from cuda_gcn_tpu.ops.graphsum import graphsum
 from cuda_gcn_tpu.ops.loss import l2_penalty, masked_cross_entropy, strict_accuracy
-from cuda_gcn_tpu.ops.matmul import SparseFeatures, csr_matmul, dense_matmul
+from cuda_gcn_tpu.ops.matmul import (BandedFeatures, SparseFeatures,
+                                     banded_matmul, csr_matmul, dense_matmul)
 
 Params = dict[str, jnp.ndarray]
 
@@ -36,6 +37,11 @@ def _layer0_transform(x, w, rate, key, training):
     distribution to dense dropout since dropped zeros stay zero) followed by the
     CSR SpMM (reference SparseMatmul, module.cpp:47-77).
     """
+    if isinstance(x, BandedFeatures):
+        # huge-graph sparse path: dropout on the packed [B, Emax] values (pad
+        # slots are 0 and stay 0), banded SpMM bounds every segment output
+        vals = dropout(x.vals, rate, key, training)
+        return banded_matmul(w, vals, x)
     if isinstance(x, SparseFeatures):
         vals = dropout(x.values, rate, key, training)
         return csr_matmul(vals, x.rows, x.cols, w, x.n_rows)

@@ -62,3 +62,166 @@ def csr_matmul(values: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
     """
     gathered = w[cols] * values[:, None].astype(w.dtype)
     return jax.ops.segment_sum(gathered, rows, num_segments=n_rows, indices_are_sorted=True)
+
+
+# -- banded sparse layer-0 for huge graphs ----------------------------------
+#
+# csr_matmul's segment_sum reduces into an [n_rows, d] output; at >=1M rows
+# XLA's gather+segment pipeline scalarizes (~4.5 ns per edge*element — the
+# same measured cliff the graphsum Blocked2DDev layout exists for,
+# docs/PERF.md "segment-output cliff"), and the [nnz, d] gathered
+# intermediate alone is ~4.2 GB at the 16x-reddit feature matrix (65M nnz).
+# The banded layout slices the CSR expansion into fixed row bands of
+# FEAT_BAND_ROWS rows and scans them: each band segments <=Emax edges into a
+# small [rbw+1, d] output (pad rows land in segment rbw, dropped), so the
+# per-step temps are bounded and the segment output never leaves the fast
+# regime. The within-band column-sorted permutation (t_idx/t_cols) gives the
+# dW backward a SORTED small-output segment reduction too — never the
+# unsorted scatter the reference races on (src/cuda/cuda_kernel.cu:112-122).
+
+FEAT_BAND_ROWS = 16384           # rbw: same band span the graphsum windows use
+BANDED_FEATURES_MIN_ROWS = 1 << 19  # below this csr_matmul's single segment_sum is fine
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BandedFeatures:
+    """Row-banded CSR feature matrix (device arrays; see module comment).
+
+    ``vals`` holds the UNDROPPED values; layer-0 dropout applies elementwise
+    to this [B, Emax] array per call (pad slots carry 0 and stay 0). The
+    backward view reuses the SAME (possibly dropped) values through ``t_idx``,
+    so the train-time mask is consistent between X·W and its dW transpose.
+    """
+
+    vals: jnp.ndarray    # (B, Emax) float; pad 0
+    cols: jnp.ndarray    # (B, Emax) int32 into [0, F); pad 0
+    rows: jnp.ndarray    # (B, Emax) int32 band-local row; pad = rbw (dropped)
+    t_idx: jnp.ndarray   # (B, Emax) int32 slot permutation: col-sorted order
+    t_cols: jnp.ndarray  # (B, Emax) int32 sorted feature ids; pad = F (dropped)
+    n_rows: int
+    n_cols: int
+    rbw: int
+
+    def tree_flatten(self):
+        return ((self.vals, self.cols, self.rows, self.t_idx, self.t_cols),
+                (self.n_rows, self.n_cols, self.rbw))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, n_rows=aux[0], n_cols=aux[1], rbw=aux[2])
+
+
+def pack_banded_features(indptr, indices, rbw: int | None = None):
+    """Host-side pack of a CSR feature matrix into BandedFeatures index arrays
+    (numpy in, numpy out; values are supplied separately so callers can pack
+    once and swap dtypes). Returns a dict of arrays + static meta.
+
+    ``rbw`` defaults to the module's FEAT_BAND_ROWS *at call time* so tests
+    (and tuning) can override the policy knob without replumbing callers."""
+    import numpy as np
+
+    rbw = FEAT_BAND_ROWS if rbw is None else rbw
+    n_rows = indptr.shape[0] - 1
+    n_bands = -(-n_rows // rbw)
+    counts = np.diff(indptr.astype(np.int64))
+    rows_flat = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+    band_of = rows_flat // rbw
+    band_nnz = np.bincount(band_of, minlength=n_bands)
+    emax = int(band_nnz.max()) if n_bands else 0
+    starts = indptr[np.minimum(np.arange(n_bands) * rbw, n_rows)].astype(np.int64)
+    # slot j of band b reads flat edge starts[b] + j (CSR order is band-major)
+    slot = np.arange(emax, dtype=np.int64)[None, :]
+    src = np.minimum(starts[:, None] + slot, indptr[-1] - 1)
+    valid = slot < band_nnz[:, None]
+    cols = np.where(valid, indices[src], 0).astype(np.int32)
+    rows = np.where(valid, rows_flat[src] - np.arange(n_bands)[:, None] * rbw,
+                    rbw).astype(np.int32)
+    # within-band column-sorted view for the dW segment reduction; pad slots
+    # sort to the end (sentinel -1 here; the device constructor rewrites them
+    # to col F = n_cols, which the [:F] slice drops)
+    key_cols = np.where(valid, cols, np.iinfo(np.int32).max)
+    t_idx = np.argsort(key_cols, axis=1, kind="stable").astype(np.int32)
+    t_cols = np.take_along_axis(np.where(valid, cols, -1), t_idx, axis=1)
+    return dict(cols=cols, rows=rows, t_idx=t_idx,
+                t_cols=t_cols.astype(np.int32), valid=valid,
+                n_bands=n_bands, emax=emax)
+
+
+def make_banded_features(indptr, indices, values, n_cols: int, dtype,
+                         rbw: int | None = None) -> BandedFeatures:
+    """Pack + device-put: the prepare-time constructor used by train.prepare."""
+    import numpy as np
+
+    rbw = FEAT_BAND_ROWS if rbw is None else rbw
+    p = pack_banded_features(indptr, indices, rbw)
+    vals = np.zeros((p["n_bands"], p["emax"]), dtype=np.dtype(dtype))
+    counts = np.diff(indptr.astype(np.int64))
+    band_nnz = np.add.reduceat(counts, np.arange(0, indptr.shape[0] - 1, rbw)) \
+        if indptr.shape[0] > 1 else np.zeros(0, np.int64)
+    # fill band-major: slot j of band b is flat nnz starts[b]+j
+    flat = np.asarray(values, dtype=np.dtype(dtype))
+    pos = 0
+    for b in range(p["n_bands"]):
+        k = int(band_nnz[b])
+        vals[b, :k] = flat[pos:pos + k]
+        pos += k
+    t_cols = np.where(p["t_cols"] < 0, n_cols, p["t_cols"]).astype(np.int32)
+    return BandedFeatures(
+        vals=jnp.asarray(vals), cols=jnp.asarray(p["cols"]),
+        rows=jnp.asarray(p["rows"]), t_idx=jnp.asarray(p["t_idx"]),
+        t_cols=jnp.asarray(t_cols), n_rows=indptr.shape[0] - 1,
+        n_cols=n_cols, rbw=rbw)
+
+
+@jax.custom_vjp
+def banded_matmul(w: jnp.ndarray, vals: jnp.ndarray, bf: BandedFeatures) -> jnp.ndarray:
+    """out[n_rows, d] = X · W with X in the banded layout and ``vals`` the
+    (possibly dropout-scaled) [B, Emax] value array. Differentiable in ``w``
+    only (the values are data; their only gradient path in the reference is
+    the dropout mask, which needs no cotangent)."""
+    return _banded_fwd_impl(w, vals, bf)
+
+
+def _banded_fwd_impl(w, vals, bf):
+    rbw = bf.rbw
+
+    def step(_, x):
+        v, c, r = x
+        gathered = w[c] * v[:, None].astype(w.dtype)
+        part = jax.ops.segment_sum(gathered.astype(jnp.float32), r,
+                                   num_segments=rbw + 1, indices_are_sorted=True)
+        return 0, part[:rbw]
+
+    _, out = jax.lax.scan(step, 0, (vals, bf.cols, bf.rows))
+    b = vals.shape[0]
+    return out.reshape(b * rbw, w.shape[1])[: bf.n_rows].astype(w.dtype)
+
+
+def _banded_vjp_fwd(w, vals, bf):
+    return _banded_fwd_impl(w, vals, bf), (w, vals, bf)
+
+
+def _banded_vjp_bwd(res, g):
+    w, vals, bf = res
+    b, rbw, f = vals.shape[0], bf.rbw, bf.n_cols
+    gp = jnp.pad(g, ((0, b * rbw - g.shape[0]), (0, 0))).reshape(b, rbw, -1)
+
+    def step(acc, x):
+        v, t_idx, t_cols, r, gb = x
+        v_cs = jnp.take_along_axis(v, t_idx, axis=0)
+        r_cs = jnp.take_along_axis(r, t_idx, axis=0)
+        gath = gb[jnp.minimum(r_cs, rbw - 1)] * v_cs[:, None].astype(g.dtype)
+        part = jax.ops.segment_sum(gath.astype(jnp.float32), t_cols,
+                                   num_segments=f + 1, indices_are_sorted=True)
+        return acc + part[:f], None
+
+    acc0 = jnp.zeros((f, g.shape[1]), jnp.float32)
+    dw, _ = jax.lax.scan(step, acc0,
+                         (vals, bf.t_idx, bf.t_cols, bf.rows, gp))
+    from cuda_gcn_tpu.ops.graphsum import _zero_cotangent
+
+    return dw.astype(w.dtype), jnp.zeros_like(vals), _zero_cotangent(bf)
+
+
+banded_matmul.defvjp(_banded_vjp_fwd, _banded_vjp_bwd)

@@ -379,15 +379,25 @@ def prepare(cfg: GCNConfig, dataset: GCNDataset):
         feat_bytes = dataset.num_nodes * (-(-cfg.input_dim // 128) * 128) * 4
     graph = build_graph(dataset.graph, backend=backend, aux_bytes=feat_bytes)
     if cfg.feature_matmul == "sparse":
-        from cuda_gcn_tpu.ops.matmul import SparseFeatures
+        from cuda_gcn_tpu.ops.matmul import (BANDED_FEATURES_MIN_ROWS,
+                                             SparseFeatures,
+                                             make_banded_features)
 
         fi = dataset.feature_index
-        rows = np.repeat(np.arange(dataset.num_nodes, dtype=np.int32),
-                         np.diff(fi.indptr))
-        x = SparseFeatures(
-            values=jnp.asarray(dataset.feature_value.astype(np.dtype(cfg.compute_dtype))),
-            rows=jnp.asarray(rows), cols=jnp.asarray(fi.indices.astype(np.int32)),
-            n_rows=dataset.num_nodes, n_cols=cfg.input_dim)
+        if dataset.num_nodes >= BANDED_FEATURES_MIN_ROWS:
+            # csr_matmul's [N, d] segment output scalarizes past ~1M rows and
+            # its [nnz, d] gather temp is GBs at 16x — the banded layout keeps
+            # both bounded (ops/matmul.py "banded sparse layer-0")
+            x = make_banded_features(fi.indptr, fi.indices,
+                                     dataset.feature_value, cfg.input_dim,
+                                     cfg.compute_dtype)
+        else:
+            rows = np.repeat(np.arange(dataset.num_nodes, dtype=np.int32),
+                             np.diff(fi.indptr))
+            x = SparseFeatures(
+                values=jnp.asarray(dataset.feature_value.astype(np.dtype(cfg.compute_dtype))),
+                rows=jnp.asarray(rows), cols=jnp.asarray(fi.indices.astype(np.int32)),
+                n_rows=dataset.num_nodes, n_cols=cfg.input_dim)
     else:
         x = jnp.asarray(dataset.dense_features(np.dtype(cfg.compute_dtype)))
     truths = {s: make_truth(dataset.split, dataset.label, s) for s in (1, 2, 3)}

@@ -121,3 +121,45 @@ def test_sparse_feature_path_matches_dense(tiny_dataset):
     s2, m2 = train_mod.run_epochs(s2, graph, x_s, truths[1], truths[2], epochs=3, **kw)
     for a, b in zip(m1, m2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_banded_feature_path_matches_dense(tiny_dataset, monkeypatch):
+    """The huge-graph banded layer-0 (BandedFeatures, engaged above
+    BANDED_FEATURES_MIN_ROWS) must match the dense path end-to-end: eval
+    logits and the fused-epoch training metrics at dropout=0."""
+    import jax.numpy as jnp
+
+    from cuda_gcn_tpu.config import GCNConfig
+    from cuda_gcn_tpu import train as train_mod
+    from cuda_gcn_tpu.models import gcn
+    from cuda_gcn_tpu.ops import matmul as matmul_mod
+
+    monkeypatch.setattr(matmul_mod, "BANDED_FEATURES_MIN_ROWS", 1)
+    monkeypatch.setattr(matmul_mod, "FEAT_BAND_ROWS", 16)
+
+    cfg_d = GCNConfig(epochs=3, seed=0, dropout=0.0)
+    cfg_d, graph, x_d, truths = train_mod.prepare(cfg_d, tiny_dataset)
+    cfg_b = GCNConfig(epochs=3, seed=0, dropout=0.0, feature_matmul="sparse")
+    cfg_b, _, x_b, _ = train_mod.prepare(cfg_b, tiny_dataset)
+    assert isinstance(x_b, matmul_mod.BandedFeatures)
+    assert x_b.vals.shape[0] > 1  # multiple bands exercised
+
+    params = gcn.init_params(jax.random.PRNGKey(0), cfg_d.layer_dims())
+    ld = gcn.apply(params, graph, x_d, training=False)
+    lb = gcn.apply(params, graph, x_b, training=False)
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(lb), rtol=1e-5, atol=1e-6)
+
+    kw = dict(dropout_rate=0.0, weight_decay=cfg_d.weight_decay, lr=cfg_d.learning_rate)
+    s1 = train_mod.create_state(cfg_d)
+    s1, m1 = train_mod.run_epochs(s1, graph, x_d, truths[1], truths[2], epochs=3, **kw)
+    s2 = train_mod.create_state(cfg_b)
+    s2, m2 = train_mod.run_epochs(s2, graph, x_b, truths[1], truths[2], epochs=3, **kw)
+    for a, b in zip(m1, m2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    # dropout ON must still train (masks differ from dense only in shape)
+    s3 = train_mod.create_state(cfg_b)
+    s3, m3 = train_mod.run_epochs(s3, graph, x_b, truths[1], truths[2], epochs=3,
+                                  dropout_rate=0.5, weight_decay=cfg_b.weight_decay,
+                                  lr=cfg_b.learning_rate)
+    assert np.all(np.isfinite(np.asarray(m3[0])))

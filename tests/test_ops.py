@@ -163,3 +163,59 @@ def test_pallas_backend_falls_back_when_h_exceeds_vmem(csr_and_h, monkeypatch):
     got = np.asarray(graphsum(jnp.asarray(h), graph))
     assert not called, "pallas kernel must not run when h exceeds VMEM"
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
+def _random_feature_csr(rng, n_rows, n_cols, avg_nnz=5):
+    """Random CSR feature matrix with some empty rows."""
+    counts = rng.integers(0, 2 * avg_nnz + 1, size=n_rows)
+    indptr = np.zeros(n_rows + 1, np.int32)
+    indptr[1:] = np.cumsum(counts)
+    indices = rng.integers(0, n_cols, size=int(indptr[-1])).astype(np.int32)
+    # sort within rows (CSR convention; ties fine)
+    for i in range(n_rows):
+        indices[indptr[i]:indptr[i + 1]].sort()
+    values = rng.standard_normal(int(indptr[-1])).astype(np.float32)
+    return indptr, indices, values
+
+
+def test_banded_matmul_matches_csr(rng):
+    """banded_matmul (huge-graph layer-0, ops/matmul.py) == csr_matmul, fwd and
+    dW, on a multi-band matrix whose row count is not a band multiple."""
+    from cuda_gcn_tpu.ops.matmul import banded_matmul, make_banded_features
+
+    n_rows, n_cols, d = 100, 37, 8
+    indptr, indices, values = _random_feature_csr(rng, n_rows, n_cols)
+    w = jnp.asarray(rng.standard_normal((n_cols, d)).astype(np.float32))
+    bf = make_banded_features(indptr, indices, values, n_cols, np.float32, rbw=16)
+    assert bf.vals.shape[0] == -(-n_rows // 16)  # multiple bands exercised
+
+    rows = np.repeat(np.arange(n_rows, dtype=np.int32), np.diff(indptr))
+    ref = csr_matmul(jnp.asarray(values), jnp.asarray(rows),
+                     jnp.asarray(indices), w, n_rows)
+    got = banded_matmul(w, bf.vals, bf)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    # dW through both formulations (banded: custom VJP; csr: autodiff)
+    g = rng.standard_normal((n_rows, d)).astype(np.float32)
+    loss_b = lambda w_: jnp.vdot(banded_matmul(w_, bf.vals, bf), jnp.asarray(g))
+    loss_c = lambda w_: jnp.vdot(csr_matmul(jnp.asarray(values), jnp.asarray(rows),
+                                            jnp.asarray(indices), w_, n_rows),
+                                 jnp.asarray(g))
+    dw_b = jax.grad(loss_b)(w)
+    dw_c = jax.grad(loss_c)(w)
+    np.testing.assert_allclose(np.asarray(dw_b), np.asarray(dw_c), rtol=1e-4, atol=1e-4)
+
+
+def test_banded_matmul_under_jit_and_empty_tail_band(rng):
+    from cuda_gcn_tpu.ops.matmul import banded_matmul, make_banded_features
+
+    n_rows, n_cols, d = 33, 10, 4  # tail band has a single row
+    indptr, indices, values = _random_feature_csr(rng, n_rows, n_cols, avg_nnz=2)
+    w = jnp.asarray(rng.standard_normal((n_cols, d)).astype(np.float32))
+    bf = make_banded_features(indptr, indices, values, n_cols, np.float32, rbw=16)
+    rows = np.repeat(np.arange(n_rows, dtype=np.int32), np.diff(indptr))
+    ref = csr_matmul(jnp.asarray(values), jnp.asarray(rows),
+                     jnp.asarray(indices), w, n_rows)
+    got = jax.jit(banded_matmul)(w, bf.vals, bf)
+    assert got.shape == (n_rows, d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
