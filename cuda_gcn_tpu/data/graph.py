@@ -569,23 +569,38 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
     unique_edges = not bool(np.any(fwd_sorted[1:] == fwd_sorted[:-1]))
 
     bsr = None
+    resid_symmetric = symmetric
     if backend == "bsr":
         if bsr_budget_bytes is None:
             bsr_budget_bytes = resolve_tile_budget(
                 n, len(src), bsr_tile, _np_dtype(bsr_dtype), bsr_min_edges,
-                aux_bytes)
+                aux_bytes, symmetric=symmetric)
         bsr, keep_residual = _select_bsr_tiles(
             src, dst, coef, n, bsr_tile, bsr_min_edges, bsr_budget_bytes,
             _np_dtype(bsr_dtype), unique_edges=unique_edges)
+        if symmetric and bsr is not None and len(bsr[1]):
+            bsr, keep_residual = _symmetrize_tile_set(bsr, keep_residual, src, dst)
         src, dst, coef = src[keep_residual], dst[keep_residual], coef[keep_residual]
 
-    t_src, t_dst, t_coef = _transpose_coo(src, dst, coef, n)
+    if resid_symmetric:
+        # Â symmetric and (for bsr) a pair-closed tile set: the residual edge
+        # multiset is symmetric, its values are 1/sqrt(d_src*d_dst) (endpoint-
+        # symmetric), and CSR order sorts (row, col) — so the row-sorted
+        # transpose COO is ELEMENTWISE equal to the forward COO. Alias it:
+        # zero extra HBM, and the big transpose counting sort is skipped.
+        t_src, t_dst, t_coef = src, dst, coef
+    else:
+        t_src, t_dst, t_coef = _transpose_coo(src, dst, coef, n)
 
     blk_fwd = blk_bwd = None
     resid_nnz = len(src)
     if backend == "bsr" and n >= blocked_min_nodes:
         blk_fwd = _blocked2d_pack(src, dst, coef, n, blocked_blk)
-        blk_bwd = _blocked2d_pack(t_src, t_dst, t_coef, n, blocked_blk)
+        # same aliasing argument: Â|residual symmetric means the transpose
+        # operator IS the forward operator — one device layout serves both
+        # directions (halves the dominant HBM resident at 8x/16x scale)
+        blk_bwd = blk_fwd if resid_symmetric else _blocked2d_pack(
+            t_src, t_dst, t_coef, n, blocked_blk)
 
     # At large scale the flat residual COO (6 arrays x nnz) would only
     # duplicate the blocked layout in HBM; keep a placeholder instead. The
@@ -631,15 +646,26 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
             bsr_tiles=jnp.asarray(tiles), bsr_rows=jnp.asarray(rows),
             bsr_cols=jnp.asarray(cols), bsr_tb=tb, bsr_nblocks=nblocks)
 
+    d_src = jnp.asarray(src, jnp.int32)
+    d_dst = jnp.asarray(dst, jnp.int32)
+    d_coef = jnp.asarray(coef)
+    if resid_symmetric:
+        # keep the alias through device conversion: one HBM copy serves both
+        # directions (separate jnp.asarray calls would materialize two)
+        d_t_src, d_t_dst, d_t_coef = d_src, d_dst, d_coef
+    else:
+        d_t_src = jnp.asarray(t_src, jnp.int32)
+        d_t_dst = jnp.asarray(t_dst, jnp.int32)
+        d_t_coef = jnp.asarray(t_coef)
     return Graph(
         **bsr_kwargs,
         resid_nnz=resid_nnz,
-        src=jnp.asarray(src, jnp.int32),
-        dst=jnp.asarray(dst, jnp.int32),
-        coef=jnp.asarray(coef),
-        t_src=jnp.asarray(t_src, jnp.int32),
-        t_dst=jnp.asarray(t_dst, jnp.int32),
-        t_coef=jnp.asarray(t_coef),
+        src=d_src,
+        dst=d_dst,
+        coef=d_coef,
+        t_src=d_t_src,
+        t_dst=d_t_dst,
+        t_coef=d_t_coef,
         ell_fwd=ell_fwd,
         ell_bwd=ell_bwd,
         adj=adj,
@@ -686,19 +712,21 @@ def device_hbm_bytes() -> int:
 
 
 def resolve_tile_budget(n: int, nnz: int, tb: int, dtype,
-                        min_edges: int | None = None, aux_bytes: int = 0) -> int:
+                        min_edges: int | None = None, aux_bytes: int = 0,
+                        symmetric: bool = False) -> int:
     """Resolve the auto (None) tile budget for one device holding an n-row
     graph with nnz edges. Small graphs — where even materializing EVERY
     candidate tile stays under the 1 GB floor — resolve deterministically
     without querying devices; larger ones derive the budget from HBM
     (auto_tile_budget). Shared by build_graph and partition_graph so the
-    policy exists once."""
+    policy exists once. ``symmetric`` graphs reserve ONE residual layout
+    (the transpose aliases it — see build_graph's resid_symmetric path)."""
     item = dtype.itemsize
     min_e = min_edges or max(tb * tb * item // BSR_BREAK_EVEN_BYTES_PER_EDGE, 8)
     tiles_ub_bytes = (nnz // min_e + 1) * tb * tb * item
     if tiles_ub_bytes <= (1 << 30):
         return 1 << 30
-    budget = auto_tile_budget(n, nnz, aux_bytes)
+    budget = auto_tile_budget(n, nnz, aux_bytes, symmetric=symmetric)
     import logging
 
     logging.getLogger(__name__).info(
@@ -707,7 +735,8 @@ def resolve_tile_budget(n: int, nnz: int, tb: int, dtype,
 
 
 def auto_tile_budget(n: int, total_nnz: int, aux_bytes: int = 0,
-                     hbm_bytes: int | None = None) -> int:
+                     hbm_bytes: int | None = None,
+                     symmetric: bool = False) -> int:
     """Tile budget = HBM minus everything else the training run keeps resident.
 
     Replaces the old flat 35%-of-HBM / 5 GB-fallback cap, which left half the
@@ -716,16 +745,18 @@ def auto_tile_budget(n: int, total_nnz: int, aux_bytes: int = 0,
     * ``aux_bytes`` — caller-known residents (dense features, lane-padded);
     * activations — ~4 live [N, <=128-lane] f32 arrays during the fused
       train+eval step (pair activations, scan carry, segment partials);
-    * residual COO — blocked layout, both directions, counted at FULL nnz
-      (upper bound: tiles only shrink it);
+    * residual COO — blocked layout, counted at FULL nnz (upper bound: tiles
+      only shrink it); ONE direction when ``symmetric`` (the backward layout
+      aliases the forward one, build_graph resid_symmetric), both otherwise;
     * 1 GB headroom for XLA temporaries.
     """
     hbm = hbm_bytes if hbm_bytes is not None else device_hbm_bytes()
     act_bytes = 4 * n * 128 * 4          # lane-padded f32 rows
-    # (rows+cols) int32 + coef f32, fwd+bwd; x1.35 for the 2D layout's
-    # cap/width padding (measured ~1.3x on the skewed 8x residual — an 8x
-    # OOM dump showed arguments alone at 14.5 GB when this was unpadded)
-    resid_bytes = int(2 * 12 * total_nnz * 1.35)
+    # (rows+cols) int32 + coef f32 per edge; x1.10 padding headroom — the
+    # round-3 flat bucketed piece list measures 1.02x padded slots even on
+    # the skewed 8x residual (was x1.35 for the round-2 rectangle layout)
+    directions = 1 if symmetric else 2
+    resid_bytes = int(directions * 12 * total_nnz * 1.10)
     headroom = 1 << 30
     budget = hbm - aux_bytes - act_bytes - resid_bytes - headroom
     return max(budget, 1 << 30)
@@ -738,6 +769,28 @@ def _np_dtype(name: str) -> np.dtype:
 
         return np.dtype(ml_dtypes.bfloat16)
     return np.dtype(name)
+
+
+def _symmetrize_tile_set(bsr, keep_residual, src, dst):
+    """Pair-close a tile selection on a symmetric graph: drop off-diagonal
+    tiles whose mirror (J, I) didn't survive the budget cut (both selection
+    paths cut densest-first with (count desc, id asc) ties, which can split a
+    mirror pair exactly at the budget boundary) and return their edges to the
+    residual. A pair-closed tile set keeps the residual edge multiset
+    symmetric, which is what lets build_graph alias the backward layouts to
+    the forward ones (zero-copy transpose of a symmetric operator)."""
+    tiles, rows, cols, tb, t_blocks = bsr
+    key = rows.astype(np.int64) * t_blocks + cols
+    mirror = cols.astype(np.int64) * t_blocks + rows
+    paired = np.isin(mirror, key, assume_unique=True)
+    if paired.all():
+        return bsr, keep_residual
+    dropped = np.sort(key[~paired])
+    tile_id = (src // tb) * t_blocks + dst // tb
+    pos = np.searchsorted(dropped, tile_id)
+    pos = np.minimum(pos, len(dropped) - 1)
+    keep = keep_residual | (dropped[pos] == tile_id)
+    return (tiles[paired], rows[paired], cols[paired], tb, t_blocks), keep
 
 
 def _select_bsr_tiles(src, dst, coef, n, tb, min_edges, budget_bytes,

@@ -374,7 +374,16 @@ def prepare(cfg: GCNConfig, dataset: GCNDataset):
     # the 12x gap at 16x-reddit (0.78 vs 9.5 GB) is what moves the single-chip
     # wall (docs/PERF.md "16x-reddit")
     if cfg.feature_matmul == "sparse":
-        feat_bytes = int(dataset.feature_value.shape[0]) * 12
+        from cuda_gcn_tpu.ops.matmul import BANDED_FEATURES_MIN_ROWS
+
+        feat_nnz = int(dataset.feature_value.shape[0])
+        if dataset.num_nodes >= BANDED_FEATURES_MIN_ROWS:
+            # banded layout: 4 int32 index arrays + values over [B, Emax]
+            # padded slots (pad is small at ~uniform nnz/row; 1.1x headroom)
+            item = np.dtype(cfg.compute_dtype).itemsize
+            feat_bytes = int(feat_nnz * 1.1) * (item + 16)
+        else:
+            feat_bytes = feat_nnz * 12  # COO triple (val+row+col)
     else:
         feat_bytes = dataset.num_nodes * (-(-cfg.input_dim // 128) * 128) * 4
     graph = build_graph(dataset.graph, backend=backend, aux_bytes=feat_bytes)

@@ -407,3 +407,77 @@ def test_blocked2d_pathological_distributions(shape):
     np.add.at(expected, rows, coef[:, None].astype(np.float64) * h[cols])
     # atol covers f32 cancellation noise in the hub row's ~2000-term sum
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=2e-4)
+
+
+def test_symmetric_build_aliases_transpose(clustered):
+    """On a symmetric Â with a pair-closed tile set, the backward layouts must
+    ALIAS the forward ones (zero-copy transpose of a symmetric operator —
+    halves the residual HBM resident vs materializing both directions)."""
+    ds, h = clustered
+    g = bsr_graph(ds.graph, bsr_min_edges=64, blocked_blk=32, blocked_min_nodes=0)
+    assert g.symmetric
+    assert g.t_src is g.src and g.t_dst is g.dst and g.t_coef is g.coef
+    assert g.blk_bwd is g.blk_fwd
+    # tile set is pair-closed: every off-diagonal (r, c) has its mirror (c, r)
+    rows = np.asarray(g.bsr_rows, dtype=np.int64)
+    cols = np.asarray(g.bsr_cols, dtype=np.int64)
+    key = set(zip(rows.tolist(), cols.tolist()))
+    assert all((c, r) in key for r, c in key)
+    # residual edge multiset is symmetric (what makes the alias the transpose)
+    src = np.asarray(g.src, dtype=np.int64)
+    dst = np.asarray(g.dst, dtype=np.int64)
+    n = g.n_nodes
+    assert np.array_equal(np.sort(src * n + dst), np.sort(dst * n + src))
+
+
+def test_pair_closure_when_budget_splits_mirror(clustered):
+    """A budget that cuts mid-pair must drop the unpaired mirror tile and
+    return its edges to the residual; fwd and vjp stay exact throughout."""
+    ds, h = clustered
+    one_tile = 32 * 32 * 4
+    for budget in (one_tile, 3 * one_tile, 5 * one_tile):
+        g = bsr_graph(ds.graph, bsr_budget_bytes=budget,
+                      blocked_blk=32, blocked_min_nodes=0)
+        rows = np.asarray(g.bsr_rows, dtype=np.int64)
+        cols = np.asarray(g.bsr_cols, dtype=np.int64)
+        key = set(zip(rows.tolist(), cols.tolist()))
+        assert all((c, r) in key for r, c in key), f"unpaired tile at {budget}"
+        expected = oracle.graphsum_forward(ds.graph.indptr, ds.graph.indices,
+                                           h.astype(np.float64))
+        got = np.asarray(graphsum(jnp.asarray(h), g))
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_asymmetric_graph_builds_real_transpose():
+    """Directed input: no aliasing — the true transpose layouts are built and
+    the vjp still matches the segment backend."""
+    rng = np.random.default_rng(7)
+    n = 96
+    # random directed CSR (deliberately NOT symmetrized), self-loops included
+    counts = rng.integers(1, 6, n)
+    indices = np.concatenate(
+        [np.sort(np.unique(np.append(rng.integers(0, n, c), i)))
+         for i, c in enumerate(counts)]).astype(np.int64)
+    indptr = np.zeros(n + 1, np.int64)
+    indptr[1:] = np.cumsum([len(np.unique(np.append(rng.integers(0, n, c), i)))
+                            for i, c in enumerate(counts)])
+    # rebuild deterministically (the comprehension above must match)
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(n):
+        c = rng.integers(1, 6)
+        rows.append(np.sort(np.unique(np.append(rng.integers(0, n, c), i))))
+    indices = np.concatenate(rows).astype(np.int64)
+    indptr = np.zeros(n + 1, np.int64)
+    indptr[1:] = np.cumsum([len(r) for r in rows])
+    csr = CSR(indptr, indices)
+    g = bsr_graph(csr, blocked_blk=32, blocked_min_nodes=0)
+    if g.symmetric:  # pathological luck — regenerate would be needed
+        pytest.skip("random directed graph came out symmetric")
+    assert g.t_src is not g.src
+    assert g.blk_bwd is None or g.blk_bwd is not g.blk_fwd
+    g_seg = build_graph(csr, backend="segment")
+    h = rng.standard_normal((n, 8)).astype(np.float32)
+    ga = jax.grad(lambda hh: jnp.sum(jnp.sin(graphsum(hh, g))))(jnp.asarray(h))
+    gb = jax.grad(lambda hh: jnp.sum(jnp.sin(graphsum(hh, g_seg))))(jnp.asarray(h))
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-5)
