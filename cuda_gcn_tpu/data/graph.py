@@ -544,7 +544,7 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
                 bsr_dtype: str = BSR_DEFAULT_DTYPE,
                 blocked_blk: int = BLOCKED_RESID_TARGET_BLK,
                 blocked_min_nodes: int = BLOCKED_RESID_MIN_NODES,
-                aux_bytes: int = 0) -> Graph:
+                aux_bytes: int = 0, act_itemsize: int = 4) -> Graph:
     """Construct the device Graph from a parsed adjacency CSR (self-loops included).
 
     ``bsr_budget_bytes=None`` derives the tile budget from device HBM minus the
@@ -574,7 +574,7 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
         if bsr_budget_bytes is None:
             bsr_budget_bytes = resolve_tile_budget(
                 n, len(src), bsr_tile, _np_dtype(bsr_dtype), bsr_min_edges,
-                aux_bytes, symmetric=symmetric)
+                aux_bytes, symmetric=symmetric, act_itemsize=act_itemsize)
         bsr, keep_residual = _select_bsr_tiles(
             src, dst, coef, n, bsr_tile, bsr_min_edges, bsr_budget_bytes,
             _np_dtype(bsr_dtype), unique_edges=unique_edges)
@@ -713,7 +713,7 @@ def device_hbm_bytes() -> int:
 
 def resolve_tile_budget(n: int, nnz: int, tb: int, dtype,
                         min_edges: int | None = None, aux_bytes: int = 0,
-                        symmetric: bool = False) -> int:
+                        symmetric: bool = False, act_itemsize: int = 4) -> int:
     """Resolve the auto (None) tile budget for one device holding an n-row
     graph with nnz edges. Small graphs — where even materializing EVERY
     candidate tile stays under the 1 GB floor — resolve deterministically
@@ -726,7 +726,8 @@ def resolve_tile_budget(n: int, nnz: int, tb: int, dtype,
     tiles_ub_bytes = (nnz // min_e + 1) * tb * tb * item
     if tiles_ub_bytes <= (1 << 30):
         return 1 << 30
-    budget = auto_tile_budget(n, nnz, aux_bytes, symmetric=symmetric)
+    budget = auto_tile_budget(n, nnz, aux_bytes, symmetric=symmetric,
+                              act_itemsize=act_itemsize)
     import logging
 
     logging.getLogger(__name__).info(
@@ -736,7 +737,7 @@ def resolve_tile_budget(n: int, nnz: int, tb: int, dtype,
 
 def auto_tile_budget(n: int, total_nnz: int, aux_bytes: int = 0,
                      hbm_bytes: int | None = None,
-                     symmetric: bool = False) -> int:
+                     symmetric: bool = False, act_itemsize: int = 4) -> int:
     """Tile budget = HBM minus everything else the training run keeps resident.
 
     Replaces the old flat 35%-of-HBM / 5 GB-fallback cap, which left half the
@@ -751,7 +752,9 @@ def auto_tile_budget(n: int, total_nnz: int, aux_bytes: int = 0,
     * 1 GB headroom for XLA temporaries.
     """
     hbm = hbm_bytes if hbm_bytes is not None else device_hbm_bytes()
-    act_bytes = 4 * n * 128 * 4          # lane-padded f32 rows
+    # lane-padded [N, <=128] rows at the run's compute dtype (bf16 halves this
+    # reserve — at 16x that is 3.8 GB of tile budget back)
+    act_bytes = 4 * n * 128 * act_itemsize
     # (rows+cols) int32 + coef f32 per edge; x1.10 padding headroom — the
     # round-3 flat bucketed piece list measures 1.02x padded slots even on
     # the skewed 8x residual (was x1.35 for the round-2 rectangle layout)

@@ -386,7 +386,8 @@ def prepare(cfg: GCNConfig, dataset: GCNDataset):
             feat_bytes = feat_nnz * 12  # COO triple (val+row+col)
     else:
         feat_bytes = dataset.num_nodes * (-(-cfg.input_dim // 128) * 128) * 4
-    graph = build_graph(dataset.graph, backend=backend, aux_bytes=feat_bytes)
+    graph = build_graph(dataset.graph, backend=backend, aux_bytes=feat_bytes,
+                        act_itemsize=np.dtype(cfg.compute_dtype).itemsize)
     if cfg.feature_matmul == "sparse":
         from cuda_gcn_tpu.ops.matmul import (BANDED_FEATURES_MIN_ROWS,
                                              SparseFeatures,
