@@ -102,6 +102,8 @@ def main() -> int:
                     help="layer-0 input matmul: dense MXU table, or CSR values "
                          "(reference-style; the only way 16x fits one chip — "
                          "docs/PERF.md '16x-reddit')")
+    ap.add_argument("--bsr-budget-gb", type=float, default=None,
+                    help="pin the BSR tile budget (GiB); default: auto from HBM")
     ap.add_argument("--data-dir", default="data")
     ap.add_argument("--compilation-cache", default=os.path.join(CACHE_DIR, "xla"),
                     help="persistent XLA compile-cache dir ('' disables)")
@@ -126,7 +128,8 @@ def main() -> int:
         dataset = maybe_reorder_cached(dataset, name)
     cfg = GCNConfig(epochs=args.epochs, graphsum_backend=backend, reorder=reorder,
                     compute_dtype=args.compute_dtype, seed=0,
-                    feature_matmul=args.feature_matmul)
+                    feature_matmul=args.feature_matmul,
+                    bsr_budget_gb=args.bsr_budget_gb)
     cfg, graph, x, truths = train_mod.prepare(cfg, dataset)
     log(f"device: {jax.devices()[0]}; backend={graph.backend}; "
         f"nnz={graph.nnz}; dims={cfg.layer_dims()}")

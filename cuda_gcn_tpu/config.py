@@ -42,6 +42,10 @@ class GCNConfig:
     feature_matmul: str = "dense"      # 'dense' (MXU) | 'sparse' (CSR values, reference-style)
     param_dtype: str = "float32"       # parameter dtype
     compute_dtype: str = "float32"     # activation dtype ('bfloat16' for MXU speed)
+    bsr_budget_gb: float | None = None  # pin the BSR tile budget (GiB); None = the
+    # auto HBM-derived policy (data/graph.auto_tile_budget). Pinning below auto
+    # trades tile coverage (MXU work) for argument HBM — the knob that moves
+    # the single-chip wall (docs/PERF.md "16x-reddit").
 
     def layer_dims(self) -> tuple[int, ...]:
         hidden = self.hidden_dims if self.hidden_dims is not None else (self.hidden_dim,)

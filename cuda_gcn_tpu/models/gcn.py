@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from cuda_gcn_tpu.data.graph import Graph
 from cuda_gcn_tpu.ops.dropout import dropout
-from cuda_gcn_tpu.ops.graphsum import graphsum
+from cuda_gcn_tpu.ops.graphsum import graphsum, graphsum_pair
 from cuda_gcn_tpu.ops.loss import l2_penalty, masked_cross_entropy, strict_accuracy
 from cuda_gcn_tpu.ops.matmul import (BandedFeatures, SparseFeatures,
                                      banded_matmul, csr_matmul, dense_matmul)
@@ -90,22 +90,23 @@ def apply_pair(params: Params, graph: Graph, x: jnp.ndarray, *,
     concatenated width — on TPU the per-edge gathers are latency-bound and
     width-independent (docs/PERF.md), so this halves the number of adjacency
     passes versus running train and eval forwards separately. Gradients flow
-    only through the training half (the eval half never reaches the loss).
+    only through the training half: graphsum_pair differentiates at TRAIN
+    width (the eval half is stop_gradient'ed — it only feeds val metrics), so
+    the backward adjacency passes and their f32 streaming accumulators never
+    pay the concatenated width (ops/graphsum.graphsum_pair).
     """
     n_layers = len(params)
     keys = jax.random.split(key, n_layers)
     ht = he = x
     for i in range(n_layers):
         w = params[f"w{i + 1}"]
-        d = w.shape[1]
         if i == 0:
             zt = _layer0_transform(ht, w, dropout_rate, keys[0], True)
             ze = _layer0_transform(he, w, 0.0, None, False)
         else:
             zt = dense_matmul(dropout(ht, dropout_rate, keys[i], True), w)
             ze = dense_matmul(he, w)
-        both = graphsum(jnp.concatenate([zt, ze], axis=1), graph)
-        ht, he = both[:, :d], both[:, d:]
+        ht, he = graphsum_pair(zt, ze, graph)
         if i < n_layers - 1:
             ht = jnp.maximum(ht, 0.0)
             he = jnp.maximum(he, 0.0)

@@ -402,3 +402,46 @@ def _graphsum_bwd(graph, g):
 
 graphsum.defvjp(_graphsum_fwd, _graphsum_bwd)
 rect_graphsum.defvjp(_rect_fwd, _rect_bwd)
+
+
+@jax.custom_vjp
+def _graphsum_pair_prim(zt: jnp.ndarray, ze: jnp.ndarray, graph: Graph):
+    d = zt.shape[1]
+    both = _forward(jnp.concatenate([zt, ze], axis=1), graph)
+    return both[:, :d], both[:, d:]
+
+
+def _pair_fwd(zt, ze, graph):
+    return _graphsum_pair_prim(zt, ze, graph), graph
+
+
+def _pair_bwd(graph, gs):
+    g_t, _ = gs  # the eval half's cotangent is zero by contract (see graphsum_pair)
+    dzt = _transpose_forward(g_t, graph)
+    return dzt, jnp.zeros((graph.n_nodes, gs[1].shape[1]), gs[1].dtype), _zero_cotangent(graph)
+
+
+_graphsum_pair_prim.defvjp(_pair_fwd, _pair_bwd)
+
+
+def graphsum_pair(zt: jnp.ndarray, ze: jnp.ndarray, graph: Graph):
+    """(Â·zt, stop_gradient(Â·ze)) in ONE width-concatenated adjacency pass.
+
+    The fused train+eval forward (models/gcn.apply_pair) aggregates the
+    training activations and the no-dropout eval activations together because
+    graphsum is linear and the per-edge gathers are width-independent
+    (docs/PERF.md). Routing the concatenation through plain ``graphsum`` made
+    the BACKWARD pass run at the concatenated width too — Âᵀ·[g | 0] with the
+    eval half's cotangent identically zero (it only ever feeds undifferentiated
+    val metrics). At reddit dims the layer-2 backward aggregated [N, 82]
+    instead of [N, 41]: 2× the MXU tile work, and a 2×-wide f32 streaming
+    accumulator that the 16x OOM dump shows as ~6 GB of remat copies
+    (f32[3.7M, 82], /tmp/bench16x.log). This primitive keeps the fused forward
+    but differentiates only the train half, so the transpose pass runs at
+    train width. The eval output is stop_gradient'ed to make the contract
+    explicit (differentiating it returns zeros, exactly as if the caller had
+    written ``stop_gradient(graphsum(ze, graph))`` — which is the semantics,
+    minus the second adjacency pass).
+    """
+    out_t, out_e = _graphsum_pair_prim(zt, jax.lax.stop_gradient(ze), graph)
+    return out_t, jax.lax.stop_gradient(out_e)

@@ -386,8 +386,13 @@ def prepare(cfg: GCNConfig, dataset: GCNDataset):
             feat_bytes = feat_nnz * 12  # COO triple (val+row+col)
     else:
         feat_bytes = dataset.num_nodes * (-(-cfg.input_dim // 128) * 128) * 4
+    from cuda_gcn_tpu.data.graph import BSR_DEFAULT_BUDGET_BYTES
+
+    budget = (int(cfg.bsr_budget_gb * (1 << 30)) if cfg.bsr_budget_gb is not None
+              else BSR_DEFAULT_BUDGET_BYTES)
     graph = build_graph(dataset.graph, backend=backend, aux_bytes=feat_bytes,
-                        act_itemsize=np.dtype(cfg.compute_dtype).itemsize)
+                        act_itemsize=np.dtype(cfg.compute_dtype).itemsize,
+                        bsr_budget_bytes=budget)
     if cfg.feature_matmul == "sparse":
         from cuda_gcn_tpu.ops.matmul import (BANDED_FEATURES_MIN_ROWS,
                                              SparseFeatures,

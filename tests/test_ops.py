@@ -219,3 +219,46 @@ def test_banded_matmul_under_jit_and_empty_tail_band(rng):
     got = jax.jit(banded_matmul)(w, bf.vals, bf)
     assert got.shape == (n_rows, d)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("backend", ["segment", "bsr"])
+def test_graphsum_pair_matches_separate_passes(csr_and_h, backend):
+    """graphsum_pair == (graphsum(zt), graphsum(ze)) with the SAME f32 path."""
+    from cuda_gcn_tpu.ops.graphsum import graphsum_pair
+
+    csr, h = csr_and_h
+    graph = build_graph(csr, backend=backend)
+    rng = np.random.default_rng(11)
+    zt = jnp.asarray(h)
+    ze = jnp.asarray(rng.standard_normal(h.shape).astype(np.float32))
+    out_t, out_e = jax.jit(graphsum_pair)(zt, ze, graph)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(graphsum(zt, graph)),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_e), np.asarray(graphsum(ze, graph)),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("backend", ["segment", "bsr"])
+def test_graphsum_pair_backward_is_train_width_only(csr_and_h, backend):
+    """d/dzt matches plain graphsum's VJP exactly; d/dze is zero (stop_gradient
+    contract — the eval half only ever feeds undifferentiated val metrics)."""
+    from cuda_gcn_tpu.ops.graphsum import graphsum_pair
+
+    csr, h = csr_and_h
+    graph = build_graph(csr, backend=backend)
+    rng = np.random.default_rng(12)
+    zt = jnp.asarray(h)
+    ze = jnp.asarray(rng.standard_normal(h.shape).astype(np.float32))
+
+    def f_pair(zt, ze):
+        out_t, out_e = graphsum_pair(zt, ze, graph)
+        # the eval half feeds a metric-like reduction that must NOT backprop
+        return jnp.sum(jnp.sin(out_t)) + jax.lax.stop_gradient(jnp.sum(out_e))
+
+    def f_plain(zt):
+        return jnp.sum(jnp.sin(graphsum(zt, graph)))
+
+    gt, ge = jax.grad(f_pair, argnums=(0, 1))(zt, ze)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(jax.grad(f_plain)(zt)),
+                               rtol=1e-6, atol=1e-6)
+    assert float(jnp.max(jnp.abs(ge))) == 0.0
