@@ -80,7 +80,9 @@ class Graph:
     total_nnz: int = 0                    # nnz of Â incl. tile-covered edges
     resid_nnz: int = 0                    # residual edge count (survives placeholder COO)
     n_nodes: int = 0
-    symmetric: bool = True  # True when edge set is symmetric (undirected input)
+    symmetric: bool = False  # True when Â = Âᵀ (undirected input + pair-closed
+    # tiles): the backward then routes through the FORWARD structures and no
+    # transpose layout is shipped. False is the safe default (real transpose).
     backend: str = "segment"  # static: 'segment' | 'ell' | 'pallas' | 'dense' | 'bsr'
 
     @property
@@ -146,9 +148,16 @@ class PieceBucket:
     r0: jnp.ndarray     # (P,) int32 accumulator-window start row per piece
     c0: jnp.ndarray     # (P,) int32 gather-window start col per piece
     flush: jnp.ndarray  # (P,) bool: band changed vs the previous piece
-    rows: jnp.ndarray   # (P, cap) int32 window-local rows, sorted; pad = rbw
-    cols: jnp.ndarray   # (P, cap) int32 window-local gather ids; pad 0
-    coef: jnp.ndarray   # (P, cap) float32; pad 0.0
+    # rows/cols are WINDOW-LOCAL, so they pack into 16-bit lanes (int16 when
+    # rbw <= 32767, uint16 when width <= 65536 — both hold at the standard
+    # 16384/65536 geometry): at 344M residual edges (16x-reddit) this halves
+    # the dominant HBM argument. The device apply upcasts per piece
+    # (ops/graphsum._piece_part — a [cap]-sized transient, nothing).
+    rows: jnp.ndarray   # (P, cap) int16|int32 window-local rows, sorted; pad = rbw
+    cols: jnp.ndarray   # (P, cap) uint16|int32 window-local gather ids; pad 0
+    coef: jnp.ndarray   # (P, cap) float32|bfloat16 (the run's compute dtype;
+    # the apply casts to h.dtype before multiplying either way, so storing
+    # bf16 for bf16 runs is bit-identical); pad 0.0
 
     def tree_flatten(self):
         return ((self.r0, self.c0, self.flush, self.rows, self.cols, self.coef), None)
@@ -320,13 +329,21 @@ def _cap_ladder(sizes, max_buckets: int = BLOCKED_MAX_BUCKETS) -> list[int]:
 
 
 def _blocked2d_materialize(plan, rows, cols, coef, rbw: int, width: int,
-                           n_pad8: int, caps: list[int]) -> dict:
+                           n_pad8: int, caps: list[int],
+                           coef_dtype=np.float32) -> dict:
     """Pass 2: bucket pieces by size (smallest cap >= size) and fill arrays.
-    Returns {cap: dict(r0, c0, flush, rows, cols, coef)} for non-empty caps."""
+    Returns {cap: dict(r0, c0, flush, rows, cols, coef)} for non-empty caps.
+    rows/cols compact to 16-bit when the window geometry allows (PieceBucket);
+    ``coef_dtype`` is the run's compute dtype (casting at build time equals
+    the apply's per-multiply cast, at half the HBM)."""
     by_cap: dict[int, list] = {c: [] for c in caps}
     for p in plan["pieces"]:
         sz = len(p[3])
         by_cap[min(c for c in caps if c >= sz)].append(p)
+    row_dt = np.int16 if rbw <= np.iinfo(np.int16).max else np.int32
+    col_dt = np.uint16 if width <= (1 << 16) else np.int32
+    # one bulk cast (per-piece casts through ml_dtypes are far slower)
+    coef = coef.astype(coef_dtype, copy=False)
     out = {}
     for cap in caps:
         plist = by_cap[cap]
@@ -336,9 +353,9 @@ def _blocked2d_materialize(plan, rows, cols, coef, rbw: int, width: int,
         r0 = np.zeros(np_, np.int32)
         c0 = np.zeros(np_, np.int32)
         flush = np.zeros(np_, bool)
-        rr = np.full((np_, cap), rbw, np.int32)
-        cc = np.zeros((np_, cap), np.int32)
-        ww = np.zeros((np_, cap), np.float32)
+        rr = np.full((np_, cap), rbw, row_dt)
+        cc = np.zeros((np_, cap), col_dt)
+        ww = np.zeros((np_, cap), coef_dtype)
         prev_band = plist[0][0]
         for k, (b, pr0, pc0, e) in enumerate(plist):
             pr0 = min(pr0, n_pad8 - rbw)
@@ -355,7 +372,8 @@ def _blocked2d_materialize(plan, rows, cols, coef, rbw: int, width: int,
 
 
 def _blocked2d_pack_multi(parts, n: int,
-                          target_blk: int = BLOCKED_RESID_TARGET_BLK):
+                          target_blk: int = BLOCKED_RESID_TARGET_BLK,
+                          coef_dtype=np.float32):
     """Pack one or more (rows, cols, coef) edge sets over an n-row node space
     with SHARED static geometry (rbw, width, n_pad8, cap ladder) — multi-part
     callers (parallel/partition.py) need one static program across parts.
@@ -369,16 +387,18 @@ def _blocked2d_pack_multi(parts, n: int,
     width = min(_ceil8(max(p["cspan"] for p in plans)), n_pad8)
     caps = _cap_ladder([len(e) for p in plans for (_, _, _, e) in p["pieces"]])
     per_part = [
-        _blocked2d_materialize(plan, r, c, w, rbw, width, n_pad8, caps)
+        _blocked2d_materialize(plan, r, c, w, rbw, width, n_pad8, caps,
+                               coef_dtype=coef_dtype)
         for plan, (r, c, w) in zip(plans, parts)
     ]
     return per_part, rbw, width, n_pad8, caps
 
 
 def _blocked2d_pack(rows: np.ndarray, cols: np.ndarray, coef: np.ndarray,
-                    n: int, target_blk: int = BLOCKED_RESID_TARGET_BLK
-                    ) -> "Blocked2DDev | None":
-    packed = _blocked2d_pack_multi([(rows, cols, coef)], n, target_blk)
+                    n: int, target_blk: int = BLOCKED_RESID_TARGET_BLK,
+                    coef_dtype=np.float32) -> "Blocked2DDev | None":
+    packed = _blocked2d_pack_multi([(rows, cols, coef)], n, target_blk,
+                                   coef_dtype=coef_dtype)
     if packed is None:
         return None
     per_part, rbw, width, n_pad8, caps = packed
@@ -586,26 +606,34 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
         # Â symmetric and (for bsr) a pair-closed tile set: the residual edge
         # multiset is symmetric, its values are 1/sqrt(d_src*d_dst) (endpoint-
         # symmetric), and CSR order sorts (row, col) — so the row-sorted
-        # transpose COO is ELEMENTWISE equal to the forward COO. Alias it:
-        # zero extra HBM, and the big transpose counting sort is skipped.
-        t_src, t_dst, t_coef = src, dst, coef
+        # transpose COO is ELEMENTWISE equal to the forward COO. Don't build
+        # (or SHIP) a transpose at all: graphsum routes the backward through
+        # the forward structures via the static ``symmetric`` flag. Round-3
+        # lesson: merely aliasing the device arrays (t_src = src) is not
+        # enough — aliased leaves become two jit parameters and XLA's memory
+        # assignment counts the buffer TWICE (the 16x OOM dump bills 14.53 GB
+        # of arguments for ~11 GB of actual buffers, /tmp/bench16x.log).
+        t_src = t_dst = np.zeros(0, np.int64)
+        t_coef = np.zeros(0, np.float32)
     else:
         t_src, t_dst, t_coef = _transpose_coo(src, dst, coef, n)
 
+    coef_dtype = _np_dtype("bfloat16") if act_itemsize == 2 else np.float32
     blk_fwd = blk_bwd = None
     resid_nnz = len(src)
     if backend == "bsr" and n >= blocked_min_nodes:
-        blk_fwd = _blocked2d_pack(src, dst, coef, n, blocked_blk)
-        # same aliasing argument: Â|residual symmetric means the transpose
-        # operator IS the forward operator — one device layout serves both
-        # directions (halves the dominant HBM resident at 8x/16x scale)
-        blk_bwd = blk_fwd if resid_symmetric else _blocked2d_pack(
-            t_src, t_dst, t_coef, n, blocked_blk)
+        blk_fwd = _blocked2d_pack(src, dst, coef, n, blocked_blk,
+                                  coef_dtype=coef_dtype)
+        # asymmetric graphs carry a real transpose layout; symmetric ones
+        # leave blk_bwd=None (the transpose IS the forward operator)
+        blk_bwd = None if resid_symmetric else _blocked2d_pack(
+            t_src, t_dst, t_coef, n, blocked_blk, coef_dtype=coef_dtype)
 
     # At large scale the flat residual COO (6 arrays x nnz) would only
     # duplicate the blocked layout in HBM; keep a placeholder instead. The
     # real edge count stays readable via Graph.nnz (resid_nnz aux).
-    if blk_fwd is not None and blk_bwd is not None and resid_nnz > FLAT_RESID_MAX_NNZ:
+    if (blk_fwd is not None and (resid_symmetric or blk_bwd is not None)
+            and resid_nnz > FLAT_RESID_MAX_NNZ):
         src = dst = np.zeros(0, np.int64)
         coef = np.zeros(0, np.float32)
         t_src = t_dst = np.zeros(0, np.int64)
@@ -623,15 +651,16 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
             np.argsort(np.diff(f_indptr), kind="stable"),
             np.diff(f_indptr), f_indices, coef, f_indptr,
         )
-        t_indptr = _coo_to_csr(t_src, n)
-        bwd_buckets = _ell_pack(
-            np.argsort(np.diff(t_indptr), kind="stable"),
-            np.diff(t_indptr), t_dst.astype(np.int32), t_coef, t_indptr,
-        )
         ell_fwd = tuple(EllBucketDev(jnp.asarray(b.rows), jnp.asarray(b.cols), jnp.asarray(b.coef))
                         for b in fwd_buckets)
-        ell_bwd = tuple(EllBucketDev(jnp.asarray(b.rows), jnp.asarray(b.cols), jnp.asarray(b.coef))
-                        for b in bwd_buckets)
+        if not resid_symmetric:  # symmetric: graphsum routes bwd via ell_fwd
+            t_indptr = _coo_to_csr(t_src, n)
+            bwd_buckets = _ell_pack(
+                np.argsort(np.diff(t_indptr), kind="stable"),
+                np.diff(t_indptr), t_dst.astype(np.int32), t_coef, t_indptr,
+            )
+            ell_bwd = tuple(EllBucketDev(jnp.asarray(b.rows), jnp.asarray(b.cols), jnp.asarray(b.coef))
+                            for b in bwd_buckets)
 
     adj = None
     if backend == "dense":
@@ -649,14 +678,11 @@ def build_graph(csr: CSR, with_ell: bool = True, backend: str = "auto",
     d_src = jnp.asarray(src, jnp.int32)
     d_dst = jnp.asarray(dst, jnp.int32)
     d_coef = jnp.asarray(coef)
-    if resid_symmetric:
-        # keep the alias through device conversion: one HBM copy serves both
-        # directions (separate jnp.asarray calls would materialize two)
-        d_t_src, d_t_dst, d_t_coef = d_src, d_dst, d_coef
-    else:
-        d_t_src = jnp.asarray(t_src, jnp.int32)
-        d_t_dst = jnp.asarray(t_dst, jnp.int32)
-        d_t_coef = jnp.asarray(t_coef)
+    # symmetric graphs ship EMPTY transpose fields (zero HBM, zero jit
+    # parameters); graphsum's backward routes through the forward structures
+    d_t_src = jnp.asarray(t_src, jnp.int32)
+    d_t_dst = jnp.asarray(t_dst, jnp.int32)
+    d_t_coef = jnp.asarray(t_coef)
     return Graph(
         **bsr_kwargs,
         resid_nnz=resid_nnz,
@@ -755,11 +781,11 @@ def auto_tile_budget(n: int, total_nnz: int, aux_bytes: int = 0,
     # lane-padded [N, <=128] rows at the run's compute dtype (bf16 halves this
     # reserve — at 16x that is 3.8 GB of tile budget back)
     act_bytes = 4 * n * 128 * act_itemsize
-    # (rows+cols) int32 + coef f32 per edge; x1.10 padding headroom — the
-    # round-3 flat bucketed piece list measures 1.02x padded slots even on
-    # the skewed 8x residual (was x1.35 for the round-2 rectangle layout)
+    # compact piece slots: int16 rows + uint16 cols + coef at the compute
+    # dtype (PieceBucket); x1.10 padding headroom — the round-3 flat bucketed
+    # piece list measures 1.02x padded slots even on the skewed 8x residual
     directions = 1 if symmetric else 2
-    resid_bytes = int(directions * 12 * total_nnz * 1.10)
+    resid_bytes = int(directions * (4 + act_itemsize) * total_nnz * 1.10)
     headroom = 1 << 30
     budget = hbm - aux_bytes - act_bytes - resid_bytes - headroom
     return max(budget, 1 << 30)

@@ -91,6 +91,10 @@ def _piece_part(hp, w, rbw, c0, r, c, wgt, dtype):
     (docs/PERF.md "segment-output cliff"). Pad lanes land in local segment
     ``rbw`` (dropped); accumulation is f32 regardless of activation dtype."""
     sub = jax.lax.dynamic_slice_in_dim(hp, c0, w)
+    # piece indices are stored 16-bit (PieceBucket compaction); upcast the
+    # [cap]-sized transient for the gather/segment ops
+    c = c.astype(jnp.int32)
+    r = r.astype(jnp.int32)
     vals = sub[c] * wgt[:, None].astype(dtype)
     part = jax.ops.segment_sum(vals.astype(jnp.float32), r,
                                num_segments=rbw + 1, indices_are_sorted=True)
@@ -269,7 +273,13 @@ def _forward(h, graph: Graph):
 
 
 def _transpose_forward(g, graph: Graph):
-    """Âᵀ·G over the precomputed transpose layout."""
+    """Âᵀ·G. Symmetric graphs (undirected input + pair-closed tile set,
+    data/graph.build_graph) satisfy Â = Âᵀ as an operator, so the backward IS
+    the forward — one set of device structures serves both directions, and no
+    transpose layout is ever built or shipped (build_graph leaves t_*/blk_bwd/
+    ell_bwd empty). Asymmetric graphs run over the precomputed transpose."""
+    if graph.symmetric:
+        return _forward(g, graph)
     if graph.backend == "bsr":
         return _bsr_apply(g, graph, transpose=True)
     _check_flat_coo(graph)

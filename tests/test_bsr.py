@@ -114,10 +114,11 @@ def test_bsr_budget_caps_tiles(clustered):
 
 
 def test_blocked_residual_matches_oracle(clustered):
-    """Flat-piece residual layout (blk_fwd/blk_bwd) stays exact, fwd + vjp."""
+    """Flat-piece residual layout (blk_fwd; bwd routes via symmetric) stays
+    exact, fwd + vjp."""
     ds, h = clustered
     g = bsr_graph(ds.graph, bsr_min_edges=64, blocked_blk=32, blocked_min_nodes=0)
-    assert g.blk_fwd is not None and g.blk_bwd is not None
+    assert g.blk_fwd is not None and (g.blk_bwd is not None or g.symmetric)
     assert sum(b.rows.shape[0] for b in g.blk_fwd.buckets) > 1  # multiple pieces
     assert bool(np.asarray(g.blk_fwd.buckets[0].flush).any())   # multiple bands
     expected = oracle.graphsum_forward(ds.graph.indptr, ds.graph.indices,
@@ -410,14 +411,16 @@ def test_blocked2d_pathological_distributions(shape):
 
 
 def test_symmetric_build_aliases_transpose(clustered):
-    """On a symmetric Â with a pair-closed tile set, the backward layouts must
-    ALIAS the forward ones (zero-copy transpose of a symmetric operator —
-    halves the residual HBM resident vs materializing both directions)."""
+    """On a symmetric Â with a pair-closed tile set, NO transpose layout is
+    built or shipped (zero-copy transpose of a symmetric operator): merely
+    aliasing device arrays still costs double in XLA's argument accounting
+    (two jit parameters, one buffer — the 16x OOM lesson), so the backward
+    routes through the FORWARD structures via the static symmetric flag."""
     ds, h = clustered
     g = bsr_graph(ds.graph, bsr_min_edges=64, blocked_blk=32, blocked_min_nodes=0)
     assert g.symmetric
-    assert g.t_src is g.src and g.t_dst is g.dst and g.t_coef is g.coef
-    assert g.blk_bwd is g.blk_fwd
+    assert g.t_src.size == 0 and g.t_dst.size == 0 and g.t_coef.size == 0
+    assert g.blk_bwd is None and g.blk_fwd is not None
     # tile set is pair-closed: every off-diagonal (r, c) has its mirror (c, r)
     rows = np.asarray(g.bsr_rows, dtype=np.int64)
     cols = np.asarray(g.bsr_cols, dtype=np.int64)
@@ -481,3 +484,27 @@ def test_asymmetric_graph_builds_real_transpose():
     ga = jax.grad(lambda hh: jnp.sum(jnp.sin(graphsum(hh, g))))(jnp.asarray(h))
     gb = jax.grad(lambda hh: jnp.sum(jnp.sin(graphsum(hh, g_seg))))(jnp.asarray(h))
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-5)
+
+
+def test_piece_arrays_compact_dtypes(clustered):
+    """Window-local piece indices store 16-bit (rows int16 pad=rbw, cols
+    uint16) and coef stores the run's compute dtype — the residual HBM
+    resident halves at 16x scale (PieceBucket docstring)."""
+    import ml_dtypes
+
+    from cuda_gcn_tpu.data.graph import _blocked2d_pack
+
+    ds, _ = clustered
+    g = bsr_graph(ds.graph, bsr_min_edges=64, blocked_blk=32, blocked_min_nodes=0)
+    for bk in g.blk_fwd.buckets:
+        assert bk.rows.dtype == jnp.int16
+        assert bk.cols.dtype == jnp.uint16
+        assert bk.coef.dtype == jnp.float32  # f32 run default
+    # bf16 compute dtype -> bf16 stored coefs (cast equals the apply's
+    # per-multiply cast, at half the HBM)
+    rows = np.repeat(np.arange(64, dtype=np.int64), 4)
+    cols = (rows * 7 + np.tile(np.arange(4), 64)) % 64
+    coef = np.random.default_rng(0).random(rows.size).astype(np.float32)
+    b2 = _blocked2d_pack(rows, cols, coef, 64, target_blk=32,
+                         coef_dtype=np.dtype(ml_dtypes.bfloat16))
+    assert all(bk.coef.dtype == jnp.bfloat16 for bk in b2.buckets)
