@@ -75,7 +75,7 @@ def csr_matmul(values: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
 # FEAT_BAND_ROWS rows and scans them: each band segments <=Emax edges into a
 # small [rbw+1, d] output (pad rows land in segment rbw, dropped), so the
 # per-step temps are bounded and the segment output never leaves the fast
-# regime. The within-band column-sorted permutation (t_idx/t_cols) gives the
+# regime. The within-band column-sorted permutation (t_idx) gives the
 # dW backward a SORTED small-output segment reduction too — never the
 # unsorted scatter the reference races on (src/cuda/cuda_kernel.cu:112-122).
 
@@ -94,17 +94,25 @@ class BandedFeatures:
     so the train-time mask is consistent between X·W and its dW transpose.
     """
 
+    # Index arrays store COMPACT dtypes (the 16x-reddit feature matrix is
+    # ~65M nnz; every stored byte/slot is ~300 MB of HBM argument):
+    # cols is uint16 when F <= 65536, rows is int16 (band-local, rbw <= 32767
+    # by policy), t_idx is uint16 when Emax <= 65536 else int32. The apply
+    # upcasts per scan step ([Emax]-sized transients). The col-sorted feature
+    # ids the dW reduction segments over are NOT stored: the backward
+    # recomputes them per step as cols[t_idx] with pad slots (identified by
+    # row sentinel rbw) rewritten to F — elementwise equal to the old stored
+    # array at zero HBM.
     vals: jnp.ndarray    # (B, Emax) float; pad 0
-    cols: jnp.ndarray    # (B, Emax) int32 into [0, F); pad 0
-    rows: jnp.ndarray    # (B, Emax) int32 band-local row; pad = rbw (dropped)
-    t_idx: jnp.ndarray   # (B, Emax) int32 slot permutation: col-sorted order
-    t_cols: jnp.ndarray  # (B, Emax) int32 sorted feature ids; pad = F (dropped)
+    cols: jnp.ndarray    # (B, Emax) uint16|int32 into [0, F); pad 0
+    rows: jnp.ndarray    # (B, Emax) int16|int32 band-local row; pad = rbw (dropped)
+    t_idx: jnp.ndarray   # (B, Emax) uint16|int32 slot permutation: col-sorted order
     n_rows: int
     n_cols: int
     rbw: int
 
     def tree_flatten(self):
-        return ((self.vals, self.cols, self.rows, self.t_idx, self.t_cols),
+        return ((self.vals, self.cols, self.rows, self.t_idx),
                 (self.n_rows, self.n_cols, self.rbw))
 
     @classmethod
@@ -134,17 +142,20 @@ def pack_banded_features(indptr, indices, rbw: int | None = None):
     slot = np.arange(emax, dtype=np.int64)[None, :]
     src = np.minimum(starts[:, None] + slot, indptr[-1] - 1)
     valid = slot < band_nnz[:, None]
-    cols = np.where(valid, indices[src], 0).astype(np.int32)
+    n_feat = int(indices.max()) + 1 if len(indices) else 1
+    col_dt = np.uint16 if n_feat <= (1 << 16) else np.int32
+    row_dt = np.int16 if rbw <= np.iinfo(np.int16).max else np.int32
+    idx_dt = np.uint16 if emax <= (1 << 16) else np.int32
+    cols = np.where(valid, indices[src], 0).astype(col_dt)
     rows = np.where(valid, rows_flat[src] - np.arange(n_bands)[:, None] * rbw,
-                    rbw).astype(np.int32)
-    # within-band column-sorted view for the dW segment reduction; pad slots
-    # sort to the end (sentinel -1 here; the device constructor rewrites them
-    # to col F = n_cols, which the [:F] slice drops)
-    key_cols = np.where(valid, cols, np.iinfo(np.int32).max)
-    t_idx = np.argsort(key_cols, axis=1, kind="stable").astype(np.int32)
-    t_cols = np.take_along_axis(np.where(valid, cols, -1), t_idx, axis=1)
-    return dict(cols=cols, rows=rows, t_idx=t_idx,
-                t_cols=t_cols.astype(np.int32), valid=valid,
+                    rbw).astype(row_dt)
+    # within-band column-sorted permutation for the dW segment reduction; pad
+    # slots sort to the end. The sorted feature-id array itself is NOT
+    # materialized — the device backward recomputes it as cols[t_idx] with
+    # pad slots (row sentinel rbw) rewritten to F (dropped by the [:F] slice).
+    key_cols = np.where(valid, cols.astype(np.int64), np.iinfo(np.int64).max)
+    t_idx = np.argsort(key_cols, axis=1, kind="stable").astype(idx_dt)
+    return dict(cols=cols, rows=rows, t_idx=t_idx, valid=valid,
                 n_bands=n_bands, emax=emax)
 
 
@@ -166,12 +177,10 @@ def make_banded_features(indptr, indices, values, n_cols: int, dtype,
         k = int(band_nnz[b])
         vals[b, :k] = flat[pos:pos + k]
         pos += k
-    t_cols = np.where(p["t_cols"] < 0, n_cols, p["t_cols"]).astype(np.int32)
     return BandedFeatures(
         vals=jnp.asarray(vals), cols=jnp.asarray(p["cols"]),
         rows=jnp.asarray(p["rows"]), t_idx=jnp.asarray(p["t_idx"]),
-        t_cols=jnp.asarray(t_cols), n_rows=indptr.shape[0] - 1,
-        n_cols=n_cols, rbw=rbw)
+        n_rows=indptr.shape[0] - 1, n_cols=n_cols, rbw=rbw)
 
 
 @jax.custom_vjp
@@ -188,8 +197,11 @@ def _banded_fwd_impl(w, vals, bf):
 
     def step(_, x):
         v, c, r = x
-        gathered = w[c] * v[:, None].astype(w.dtype)
-        part = jax.ops.segment_sum(gathered.astype(jnp.float32), r,
+        # indices store compact 16-bit lanes (BandedFeatures); upcast the
+        # [Emax]-sized transient for the gather/segment ops
+        gathered = w[c.astype(jnp.int32)] * v[:, None].astype(w.dtype)
+        part = jax.ops.segment_sum(gathered.astype(jnp.float32),
+                                   r.astype(jnp.int32),
                                    num_segments=rbw + 1, indices_are_sorted=True)
         return 0, part[:rbw]
 
@@ -208,9 +220,16 @@ def _banded_vjp_bwd(res, g):
     gp = jnp.pad(g, ((0, b * rbw - g.shape[0]), (0, 0))).reshape(b, rbw, -1)
 
     def step(acc, x):
-        v, t_idx, t_cols, r, gb = x
+        v, t_idx, c, r, gb = x
+        t_idx = t_idx.astype(jnp.int32)
         v_cs = jnp.take_along_axis(v, t_idx, axis=0)
-        r_cs = jnp.take_along_axis(r, t_idx, axis=0)
+        r_cs = jnp.take_along_axis(r.astype(jnp.int32), t_idx, axis=0)
+        # col-sorted feature ids, recomputed instead of stored: pad slots
+        # (row sentinel rbw) sit at the END of the sorted order, so rewriting
+        # them to F keeps the ids ascending (the segment_sum's sorted promise)
+        # and the [:f] slice drops their (zero-valued) contributions
+        t_cols = jnp.where(r_cs == rbw, f,
+                           jnp.take_along_axis(c.astype(jnp.int32), t_idx, axis=0))
         gath = gb[jnp.minimum(r_cs, rbw - 1)] * v_cs[:, None].astype(g.dtype)
         part = jax.ops.segment_sum(gath.astype(jnp.float32), t_cols,
                                    num_segments=f + 1, indices_are_sorted=True)
@@ -218,7 +237,7 @@ def _banded_vjp_bwd(res, g):
 
     acc0 = jnp.zeros((f, g.shape[1]), jnp.float32)
     dw, _ = jax.lax.scan(step, acc0,
-                         (vals, bf.t_idx, bf.t_cols, bf.rows, gp))
+                         (vals, bf.t_idx, bf.cols, bf.rows, gp))
     from cuda_gcn_tpu.ops.graphsum import _zero_cotangent
 
     return dw.astype(w.dtype), jnp.zeros_like(vals), _zero_cotangent(bf)

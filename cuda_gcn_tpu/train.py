@@ -378,10 +378,11 @@ def prepare(cfg: GCNConfig, dataset: GCNDataset):
 
         feat_nnz = int(dataset.feature_value.shape[0])
         if dataset.num_nodes >= BANDED_FEATURES_MIN_ROWS:
-            # banded layout: 4 int32 index arrays + values over [B, Emax]
+            # banded layout: compact index arrays (uint16 cols + int16 rows
+            # + int32 t_idx = 8 B/slot worst case) + values over [B, Emax]
             # padded slots (pad is small at ~uniform nnz/row; 1.1x headroom)
             item = np.dtype(cfg.compute_dtype).itemsize
-            feat_bytes = int(feat_nnz * 1.1) * (item + 16)
+            feat_bytes = int(feat_nnz * 1.1) * (item + 8)
         else:
             feat_bytes = feat_nnz * 12  # COO triple (val+row+col)
     else:

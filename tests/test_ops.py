@@ -206,6 +206,33 @@ def test_banded_matmul_matches_csr(rng):
     np.testing.assert_allclose(np.asarray(dw_b), np.asarray(dw_c), rtol=1e-4, atol=1e-4)
 
 
+def test_banded_features_compact_dtypes(rng):
+    """BandedFeatures index arrays store 16-bit lanes when the geometry allows
+    (uint16 cols at F<=65536, int16 band-local rows, uint16 t_idx at
+    Emax<=65536) — at the 16x-reddit feature matrix this halves ~1 GB of HBM
+    arguments. Numerics must be unchanged by the compaction (the apply
+    upcasts per scan step)."""
+    from cuda_gcn_tpu.ops.matmul import banded_matmul, make_banded_features
+
+    n_rows, n_cols, d = 100, 37, 8
+    indptr, indices, values = _random_feature_csr(rng, n_rows, n_cols)
+    bf = make_banded_features(indptr, indices, values, n_cols, np.float32, rbw=16)
+    assert bf.cols.dtype == jnp.uint16
+    assert bf.rows.dtype == jnp.int16
+    assert bf.t_idx.dtype == jnp.uint16
+    w = jnp.asarray(rng.standard_normal((n_cols, d)).astype(np.float32))
+    rows = np.repeat(np.arange(n_rows, dtype=np.int32), np.diff(indptr))
+    g = jnp.asarray(rng.standard_normal((n_rows, d)).astype(np.float32))
+    # dW equality pins the recomputed col-sorted ids (pad slots rewritten to
+    # F via the row sentinel) against the reference csr formulation
+    dw_b = jax.grad(lambda w_: jnp.vdot(banded_matmul(w_, bf.vals, bf), g))(w)
+    dw_c = jax.grad(lambda w_: jnp.vdot(
+        csr_matmul(jnp.asarray(values), jnp.asarray(rows),
+                   jnp.asarray(indices), w_, n_rows), g))(w)
+    np.testing.assert_allclose(np.asarray(dw_b), np.asarray(dw_c),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_banded_matmul_under_jit_and_empty_tail_band(rng):
     from cuda_gcn_tpu.ops.matmul import banded_matmul, make_banded_features
 
