@@ -31,6 +31,10 @@ PROFILES = {
     "synth-reddit4x": (931860, 46427676, 41, 602),
     "synth-reddit8x": (1863720, 92855352, 41, 602),
     "synth-reddit16x": (3727440, 185710704, 41, 602),
+    # 32x: ~743M directed nnz after symmetrization+self-loops — cannot fit one
+    # chip even partitioned-in-HBM terms; exists to characterize the sharded
+    # path's reach (partition stats + predicted scaling), like 16x.
+    "synth-reddit32x": (7454880, 371421408, 41, 602),
 }
 
 
