@@ -233,6 +233,63 @@ def test_banded_features_compact_dtypes(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_banded_features_int32_fallback_dtypes(rng):
+    """The 16-bit compaction must fall back to int32 lanes when the geometry
+    demands it — F > 65536 (wide feature spaces) forces int32 cols, and
+    Emax > 65536 (the actual 16x-reddit band occupancy, ~287K nnz/band)
+    forces int32 t_idx — with numerics still equal to the csr formulation."""
+    from cuda_gcn_tpu.ops.matmul import banded_matmul, make_banded_features
+
+    # Case 1: F > 65536 -> cols must be int32 (a uint16 would alias ids)
+    n_rows, n_cols, d = 16, (1 << 16) + 64, 4
+    indptr, indices, values = _random_feature_csr(rng, n_rows, n_cols)
+    # pin at least one id beyond the uint16 range so aliasing would be caught
+    if len(indices):
+        indices[0] = n_cols - 1
+        indices[:max(indptr[1], 1)].sort()
+    bf = make_banded_features(indptr, indices, values, n_cols, np.float32, rbw=8)
+    assert bf.cols.dtype == jnp.int32
+    assert bf.t_idx.dtype == jnp.uint16  # Emax here is tiny; stays compact
+
+    w = jnp.asarray(rng.standard_normal((n_cols, d)).astype(np.float32))
+    rows = np.repeat(np.arange(n_rows, dtype=np.int32), np.diff(indptr))
+    got = np.asarray(banded_matmul(w, bf.vals, bf))
+    want = np.asarray(csr_matmul(jnp.asarray(values), jnp.asarray(rows),
+                                 jnp.asarray(indices), w, n_rows))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # Case 2: Emax > 65536 -> t_idx must be int32 (slot permutation overflows
+    # uint16). One hub row with 70K nnz in a narrow feature space.
+    n_rows2, n_cols2 = 4, 97
+    hub = (1 << 16) + 100
+    counts = np.array([3, hub, 2, 5], np.int64)
+    indptr2 = np.zeros(n_rows2 + 1, np.int64)
+    indptr2[1:] = np.cumsum(counts)
+    indices2 = rng.integers(0, n_cols2, size=int(indptr2[-1])).astype(np.int32)
+    for i in range(n_rows2):
+        indices2[indptr2[i]:indptr2[i + 1]].sort()
+    values2 = rng.standard_normal(int(indptr2[-1])).astype(np.float32)
+    bf2 = make_banded_features(indptr2, indices2, values2, n_cols2,
+                               np.float32, rbw=2)
+    assert bf2.t_idx.dtype == jnp.int32
+    assert bf2.cols.dtype == jnp.uint16
+
+    w2 = jnp.asarray(rng.standard_normal((n_cols2, d)).astype(np.float32))
+    rows2 = np.repeat(np.arange(n_rows2, dtype=np.int32), counts)
+    g2 = jnp.asarray(rng.standard_normal((n_rows2, d)).astype(np.float32))
+    got2 = np.asarray(banded_matmul(w2, bf2.vals, bf2))
+    want2 = np.asarray(csr_matmul(jnp.asarray(values2), jnp.asarray(rows2),
+                                  jnp.asarray(indices2), w2, n_rows2))
+    np.testing.assert_allclose(got2, want2, rtol=1e-3, atol=1e-3)
+    # dW through the int32 t_idx path (recomputed col-sorted ids at scale)
+    dw_b = jax.grad(lambda w_: jnp.vdot(banded_matmul(w_, bf2.vals, bf2), g2))(w2)
+    dw_c = jax.grad(lambda w_: jnp.vdot(
+        csr_matmul(jnp.asarray(values2), jnp.asarray(rows2),
+                   jnp.asarray(indices2), w_, n_rows2), g2))(w2)
+    np.testing.assert_allclose(np.asarray(dw_b), np.asarray(dw_c),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_banded_matmul_under_jit_and_empty_tail_band(rng):
     from cuda_gcn_tpu.ops.matmul import banded_matmul, make_banded_features
 
