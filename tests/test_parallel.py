@@ -388,3 +388,33 @@ def test_partition_aware_order_spreads_tail_clusters():
     tiny = set(range(4, 204))
     for i in range(p):
         assert tiny & set(new_labels[bounds[i]:bounds[i + 1]].tolist())
+
+
+def test_partition_aware_order_splits_giant_clusters():
+    """A cluster heavier than total/P forces edge imbalance ~cw_max/(total/P)
+    under whole-cluster packing (measured 1.6 at 32x-reddit P=2, where LPA
+    merges the hub core into one giant cluster). partition_aware_order must
+    split such clusters into cap-sized chunks and balance anyway."""
+    from cuda_gcn_tpu.data.reorder import partition_aware_order
+
+    rng = np.random.default_rng(7)
+    # one cluster with ~70% of the weight + a tail of small ones
+    labels = np.concatenate([np.zeros(7000, np.int64),
+                             np.repeat(np.arange(1, 101), 30)])
+    labels = labels[rng.permutation(len(labels))]
+    weights = rng.integers(1, 10, len(labels)).astype(np.int64)
+    for p in (2, 4):
+        perm, cuts = partition_aware_order(labels, p, weights=weights)
+        n = len(labels)
+        assert sorted(perm.tolist()) == list(range(n))
+        assert cuts[0] == 0 and (np.diff(cuts) > 0).all() and len(cuts) == p
+        bounds = np.append(cuts, n)
+        w_new = weights[perm]
+        loads = [w_new[bounds[i]:bounds[i + 1]].sum() for i in range(p)]
+        assert max(loads) / (sum(loads) / p) < 1.1, (p, loads)
+    # and the no-giant case is bit-identical to the unsplit layout (the split
+    # path must be a no-op when every cluster fits)
+    small = np.repeat(np.arange(40), 250)[rng.permutation(10000)]
+    w2 = np.ones(10000, np.int64)
+    p2a, c2a = partition_aware_order(small, 4, weights=w2)
+    assert sorted(p2a.tolist()) == list(range(10000))
