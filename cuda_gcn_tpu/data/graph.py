@@ -728,9 +728,7 @@ def device_hbm_bytes() -> int:
         # TPU constant (ADVICE round-2): budget from available host RAM,
         # conservatively halved (the tile arrays are not the only resident)
         try:
-            import os as _os
-
-            pages = _os.sysconf("SC_AVPHYS_PAGES") * _os.sysconf("SC_PAGE_SIZE")
+            pages = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
             return max(pages // 2, 1 << 30)
         except (ValueError, OSError):
             return 4 << 30

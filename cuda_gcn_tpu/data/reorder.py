@@ -130,6 +130,8 @@ def partition_aware_order(labels: np.ndarray, n_parts: int,
                                   return_inverse=True)
     w = (np.ones(n, np.float64) if weights is None
          else weights.astype(np.float64))
+    if w.sum() <= 0:  # edgeless graph under degree weights: every greedy
+        w = np.ones(n, np.float64)  # bin ties at 0 and parts end up empty
     cw = np.bincount(inv, weights=w, minlength=len(uniq))
     cap = cw.sum() / max(n_parts, 1)
     if n_parts > 1 and len(uniq) and cw.max() > cap:

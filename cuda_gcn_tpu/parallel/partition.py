@@ -148,13 +148,19 @@ def _stack_blocked2d(fwd_resid, bwd_resid, block: int, blocked_blk: int) -> dict
                         if (b := p.get(cap)) is not None), default=0)
             if pmax == 0:
                 continue
+            # preserve the per-part COMPACT dtypes (int16 rows / uint16 cols,
+            # data/graph._blocked2d_materialize) instead of upcasting to
+            # int32/f32: the apply upcasts per scan step anyway, and the
+            # stacked layout is what actually lives in HBM — int32 stacking
+            # cost 2x the auto_tile_budget's (4+act) B/slot residual reserve
+            proto = next(b for p in parts if (b := p.get(cap)) is not None)
             stacked = dict(
                 r0=np.zeros((n, pmax), np.int32),
                 c0=np.zeros((n, pmax), np.int32),
                 flush=np.zeros((n, pmax), bool),
-                rows=np.full((n, pmax, cap), rbw, np.int32),
-                cols=np.zeros((n, pmax, cap), np.int32),
-                coef=np.zeros((n, pmax, cap), np.float32))
+                rows=np.full((n, pmax, cap), rbw, proto["rows"].dtype),
+                cols=np.zeros((n, pmax, cap), proto["cols"].dtype),
+                coef=np.zeros((n, pmax, cap), proto["coef"].dtype))
             for p, part in enumerate(parts):
                 b = part.get(cap)
                 if b is None:
@@ -184,6 +190,7 @@ def partition_cuts(indptr: np.ndarray, n_parts: int, balance: str = "edges",
     turns intra-cluster edges back into interior edges (SURVEY.md §7 hard
     part #3)."""
     n = len(indptr) - 1
+    assert n >= n_parts, f"cannot cut {n} nodes into {n_parts} parts"
     if balance == "nodes" or n_parts == 1:
         block = -(-n // n_parts)
         return np.arange(n_parts, dtype=np.int64) * block
@@ -207,7 +214,16 @@ def partition_cuts(indptr: np.ndarray, n_parts: int, balance: str = "edges",
     interior = np.maximum.accumulate(interior)
     for i in range(1, len(interior)):  # dedupe degenerate collisions
         if interior[i] <= interior[i - 1]:
-            interior[i] = min(interior[i - 1] + 1, n - 1)
+            interior[i] = interior[i - 1] + 1
+    # collisions pushed forward can overrun n-1 (e.g. a giant hub near the
+    # end of the id space pulls several edge-quantile targets into one node);
+    # push back from the end so every part keeps >=1 node — a duplicate cut
+    # means an empty part, which silently drops the blocked interior layout
+    # for EVERY part (_blocked2d_pack_multi is all-or-nothing)
+    for i in range(len(interior) - 1, -1, -1):
+        cap_i = n - (len(interior) - i)
+        if interior[i] > cap_i:
+            interior[i] = cap_i
     return np.concatenate([[0], interior])
 
 
@@ -240,6 +256,11 @@ def partition_graph(csr: CSR, n_parts: int, interior_tiles: bool = False,
     if cuts is not None:  # caller-chosen cuts (e.g. reorder.partition_aware_order)
         starts = np.asarray(cuts, dtype=np.int64)
         assert len(starts) == n_parts and starts[0] == 0
+        # a duplicate cut = an empty part, which silently degrades EVERY
+        # part to the segment fallback (_blocked2d_pack_multi is
+        # all-or-nothing) — fail loudly instead
+        assert (np.diff(np.append(starts, n)) > 0).all(), \
+            f"cuts must leave every part >=1 node, got {starts} for n={n}"
     else:
         starts = partition_cuts(indptr, n_parts, balance, cluster_sizes)
     bounds = np.append(starts, n)

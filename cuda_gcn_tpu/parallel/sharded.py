@@ -444,6 +444,7 @@ def make_sharded_eval_step(mesh: Mesh, cfg: GCNConfig):
 
 
 def prepare_sharded(cfg: GCNConfig, dataset: GCNDataset, mesh: Mesh,
+                    lpa_labels: np.ndarray | None = None,
                     **partition_kwargs):
     """Partition + device-put a dataset for the mesh. Returns (cfg, inputs, truths).
     Extra keyword arguments are forwarded to ``partition_graph`` (tile size,
@@ -453,7 +454,9 @@ def prepare_sharded(cfg: GCNConfig, dataset: GCNDataset, mesh: Mesh,
     LPA locality permutation (data/reorder.py) so communities land inside
     node blocks — this is what keeps the halo (boundary) fraction low on
     power-law graphs (SURVEY.md §7 hard part #3); training metrics are
-    permutation-invariant."""
+    permutation-invariant. ``lpa_labels`` skips the label-propagation pass
+    for callers that already computed (or cached) the labels for THIS
+    dataset's node order — the expensive host step at 16x+ scale."""
     cfg = dataset.apply_config(cfg)
     n_parts = mesh.shape[GRAPH_AXIS]
     if cfg.reorder != "none":
@@ -464,7 +467,8 @@ def prepare_sharded(cfg: GCNConfig, dataset: GCNDataset, mesh: Mesh,
         # P-aware cluster layout: clusters greedy-packed into P equal-edge
         # bins (tail clusters spread, not piled on the last part) and laid
         # out contiguously; the part cuts fall exactly on bin boundaries
-        labels = label_propagation(dataset.graph.indptr, dataset.graph.indices)
+        labels = (lpa_labels if lpa_labels is not None else
+                  label_propagation(dataset.graph.indptr, dataset.graph.indices))
         deg = np.diff(dataset.graph.indptr.astype(np.int64))
         perm, cuts = partition_aware_order(labels, n_parts, weights=deg)
         dataset = reorder_dataset(dataset, perm).dataset

@@ -119,11 +119,12 @@ def main() -> int:
                   f"balance={stats['edge_balance']}", file=sys.stderr, flush=True)
             continue
         mesh = sharded.make_mesh(p)
-        # prepare_sharded applies the SAME P-aware cluster layout internally
-        # (labels recomputed; deterministic), so the stats above match it
+        # prepare_sharded applies the SAME P-aware cluster layout (the cached
+        # labels are passed in, so the stats above match it at zero recompute)
         cfg = GCNConfig(epochs=args.epochs, seed=0,
                         graphsum_backend="segment" if args.interior == "segment" else "auto")
-        cfg, inputs, truths = sharded.prepare_sharded(cfg, ds0, mesh)
+        cfg, inputs, truths = sharded.prepare_sharded(cfg, ds0, mesh,
+                                                      lpa_labels=labels)
         run = sharded.make_sharded_run_epochs(mesh, cfg)
         state = train_mod.create_state(cfg)
         # warmup/compile (chunked: bounds device-program runtime on the tunnel)

@@ -418,3 +418,28 @@ def test_partition_aware_order_splits_giant_clusters():
     w2 = np.ones(10000, np.int64)
     p2a, c2a = partition_aware_order(small, 4, weights=w2)
     assert sorted(p2a.tolist()) == list(range(10000))
+
+
+def test_partition_cuts_hub_at_end_no_empty_parts():
+    """A hub holding most edges near the END of the id space pulls several
+    edge-quantile targets into one node; the dedupe must still return
+    strictly increasing cuts (a duplicate cut = an empty part, which silently
+    drops the blocked interior layout for every part)."""
+    from cuda_gcn_tpu.parallel.partition import partition_cuts
+
+    n = 16
+    deg = np.ones(n, np.int64)
+    deg[-1] = 1000  # hub at the last node
+    indptr = np.concatenate([[0], np.cumsum(deg)])
+    for p in (4, 8, 16):
+        cuts = partition_cuts(indptr, p)
+        spans = np.diff(np.append(cuts, n))
+        assert (spans > 0).all(), (p, cuts)
+        assert cuts[0] == 0 and len(cuts) == p
+    # hub at the FRONT: same requirement on the other side
+    deg2 = np.ones(n, np.int64)
+    deg2[0] = 1000
+    indptr2 = np.concatenate([[0], np.cumsum(deg2)])
+    for p in (4, 8):
+        cuts = partition_cuts(indptr2, p)
+        assert (np.diff(np.append(cuts, n)) > 0).all(), (p, cuts)
