@@ -29,13 +29,37 @@ from cuda_gcn_tpu.data.parser import CSR, GCNDataset
 
 def label_propagation(indptr: np.ndarray, indices: np.ndarray, rounds: int = 4,
                       seed_labels: np.ndarray | None = None,
-                      prefer_native: bool = True) -> np.ndarray:
+                      prefer_native: bool = True,
+                      max_top_share: float | None = 0.5) -> np.ndarray:
     """Synchronous LPA: per round, each node takes the modal label among its
     neighbors (ties -> smallest label; isolated nodes keep their label).
 
     Prefers the multithreaded C++ implementation (csrc/gcn_lpa.cpp, ~20x at
     reddit scale) when the toolchain is available; this numpy version is the
-    semantics oracle and the fallback (tests assert they agree)."""
+    semantics oracle and the fallback (tests assert they agree).
+
+    ``max_top_share`` is the collapse guard (round 3): at 32x-reddit the
+    synchronous dynamics CASCADE between rounds 2 and 3 — 252K clusters
+    (top label 34% of nodes) collapse to 64 (top 80%) — and a one-label
+    graph is useless for both tiling and partitioning. Rounds run one at a
+    time; if a round's top label exceeds the share bound, the PREVIOUS
+    round's labels are returned (docs/PERF.md '32x-reddit'). None disables
+    (the ungated fixed-round semantics the oracle tests pin)."""
+    if max_top_share is not None and rounds > 1:
+        n = len(indptr) - 1
+        labels = seed_labels
+        for _ in range(rounds):
+            new = label_propagation(indptr, indices, rounds=1,
+                                    seed_labels=labels,
+                                    prefer_native=prefer_native,
+                                    max_top_share=None)
+            top = np.bincount(new.astype(np.int64)).max()
+            if top > max_top_share * n and labels is not None:
+                return labels
+            if labels is not None and np.array_equal(new, labels):
+                return labels
+            labels = new
+        return labels
     if prefer_native:
         from cuda_gcn_tpu.data import native
 
@@ -163,6 +187,113 @@ def partition_aware_order(labels: np.ndarray, n_parts: int,
     part_nodes = np.bincount(part_of[inv], minlength=n_parts)
     cuts = np.concatenate([[0], np.cumsum(part_nodes)[:-1]])
     return perm, cuts.astype(np.int64)
+
+
+def refine_partition(indptr: np.ndarray, indices: np.ndarray,
+                     part_of: np.ndarray, n_parts: int, weights: np.ndarray,
+                     sweeps: int = 2, slack: float = 1.05) -> np.ndarray:
+    """Balance-constrained boundary refinement over a P-part node assignment
+    (a vectorized one-move Fiduccia–Mattheyses/LPA hybrid).
+
+    Per sweep every node counts its edges into each part (ONE bincount over
+    m keys) and bids to move to its argmax part; bids are admitted
+    best-gain-first under a per-part inflow cap (load <= slack * W/P) and
+    outflow floor (load >= W/(P*slack)), so edge balance survives while
+    boundary edges turn interior. Exists because cluster-granular packing
+    bottoms out when the clustering itself fails: at 32x-reddit synchronous
+    LPA cascades into one 80%-mass label (docs/PERF.md), the id-order split
+    of that giant is class-random, and no LPA round does better (round-1/2
+    layouts measured WORSE: 49/46% boundary at P=2 vs 40% collapsed+split,
+    21% planted-class floor). Refinement recovers most of the gap from any
+    starting layout. Returns the refined part assignment (same node order).
+    """
+    n = len(indptr) - 1
+    w = weights.astype(np.float64)
+    total = w.sum()
+    cap_load = slack * total / n_parts
+    floor_load = total / (slack * n_parts)
+    src = np.repeat(np.arange(n, dtype=np.int64),
+                    np.diff(indptr.astype(np.int64)))
+    dst = indices.astype(np.int64)
+    part_of = part_of.astype(np.int32).copy()
+    rows = np.arange(n)
+    for _ in range(sweeps):
+        cnt = np.bincount(src * n_parts + part_of[dst],
+                          minlength=n * n_parts).reshape(n, n_parts)
+        best = np.argmax(cnt, axis=1).astype(np.int32)
+        gain = cnt[rows, best] - cnt[rows, part_of]
+        movers = np.flatnonzero((gain > 0) & (best != part_of))
+        if not len(movers):
+            break
+        loads = np.bincount(part_of, weights=w, minlength=n_parts)
+        order = movers[np.argsort(-gain[movers], kind="stable")]
+        # dampening: admit only the top half by gain per sweep — synchronous
+        # all-move updates mass-swap symmetric regions back and forth
+        # (boundary invariant), the standard sync-LPA oscillation
+        order = order[: max(1, (len(order) + 1) // 2)]
+        wo = w[order]
+        src_p, dst_p = part_of[order], best[order]
+        # exchange-aware admission: moves are mostly symmetric swaps whose
+        # NET load change is small, so admit everything and repair — a
+        # per-part inflow-prefix rule would throttle convergence to
+        # (slack-1) of the weight per sweep. Repair monotonically un-admits
+        # the lowest-gain movers into over-cap parts / out of under-floor
+        # parts until the slack band holds (admission only shrinks, so this
+        # terminates; starting loads are inside the band by construction).
+        admit = np.ones(len(order), bool)
+        for _ in range(100):
+            la = loads + np.bincount(dst_p[admit], weights=wo[admit],
+                                     minlength=n_parts) \
+                       - np.bincount(src_p[admit], weights=wo[admit],
+                                     minlength=n_parts)
+            bad = False
+            for p in np.flatnonzero(la > cap_load + 1e-9):
+                sel = np.flatnonzero(admit & (dst_p == p))[::-1]
+                cut = np.searchsorted(np.cumsum(wo[sel]), la[p] - cap_load)
+                admit[sel[:cut + 1]] = False
+                bad = True
+            for p in np.flatnonzero(la < floor_load - 1e-9):
+                sel = np.flatnonzero(admit & (src_p == p))[::-1]
+                cut = np.searchsorted(np.cumsum(wo[sel]), floor_load - la[p])
+                admit[sel[:cut + 1]] = False
+                bad = True
+            if not bad:
+                break
+        else:  # could not repair: skip this sweep's moves entirely
+            admit[:] = False
+        moved = order[admit]
+        if not len(moved):
+            break
+        part_of[moved] = best[moved]
+    return part_of
+
+
+def partition_layout(indptr: np.ndarray, indices: np.ndarray,
+                     labels: np.ndarray, n_parts: int,
+                     weights: np.ndarray | None = None,
+                     refine_sweeps: int = 2, slack: float = 1.05):
+    """The full P-part layout pipeline: cluster-granular greedy packing
+    (``partition_aware_order``) followed by node-granular boundary
+    refinement (``refine_partition``). Returns (perm, cuts) in the same
+    contract; within a part, unmoved nodes keep the cluster-major aware
+    order (so the interior tile/blocked locality survives refinement)."""
+    perm, cuts = partition_aware_order(labels, n_parts, weights=weights)
+    if n_parts <= 1 or refine_sweeps <= 0:
+        return perm, cuts
+    n = len(labels)
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    part_of = (np.searchsorted(cuts, inv, side="right") - 1).astype(np.int32)
+    w = (np.ones(n, np.float64) if weights is None
+         else weights.astype(np.float64))
+    refined = refine_partition(indptr, indices, part_of, n_parts, w,
+                               sweeps=refine_sweeps, slack=slack)
+    counts = np.bincount(refined, minlength=n_parts)
+    if (counts == 0).any():  # degenerate input graph: keep the packed layout
+        return perm, cuts
+    perm2 = np.lexsort((inv, refined))
+    cuts2 = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return perm2, cuts2.astype(np.int64)
 
 
 @dataclasses.dataclass

@@ -461,16 +461,20 @@ def prepare_sharded(cfg: GCNConfig, dataset: GCNDataset, mesh: Mesh,
     n_parts = mesh.shape[GRAPH_AXIS]
     if cfg.reorder != "none":
         from cuda_gcn_tpu.data.reorder import (label_propagation,
-                                               partition_aware_order,
+                                               partition_layout,
                                                reorder_dataset)
 
         # P-aware cluster layout: clusters greedy-packed into P equal-edge
         # bins (tail clusters spread, not piled on the last part) and laid
-        # out contiguously; the part cuts fall exactly on bin boundaries
+        # out contiguously, then node-granular boundary refinement
+        # (reorder.refine_partition) — at 32x-reddit the refinement cuts the
+        # P=2 boundary 0.46 -> 0.33 where cluster packing alone bottoms out
         labels = (lpa_labels if lpa_labels is not None else
                   label_propagation(dataset.graph.indptr, dataset.graph.indices))
         deg = np.diff(dataset.graph.indptr.astype(np.int64))
-        perm, cuts = partition_aware_order(labels, n_parts, weights=deg)
+        perm, cuts = partition_layout(dataset.graph.indptr,
+                                      dataset.graph.indices,
+                                      labels, n_parts, weights=deg)
         dataset = reorder_dataset(dataset, perm).dataset
         partition_kwargs.setdefault("cuts", cuts)
     block = -(-dataset.num_nodes // n_parts)

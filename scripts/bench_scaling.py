@@ -58,7 +58,7 @@ def main() -> int:
     # greedy-spread across parts, reorder.partition_aware_order), so the
     # dataset is relabeled inside the P loop below.
     from cuda_gcn_tpu.data.reorder import (label_propagation,
-                                           partition_aware_order,
+                                           partition_layout,
                                            reorder_dataset)
 
     # LPA labels are the expensive host step at scale (~minutes at 32x on one
@@ -87,7 +87,8 @@ def main() -> int:
             # stats-only runs never touch a device; any P is computable
             print(f"skip P={p}: only {jax.device_count()} devices", file=sys.stderr)
             continue
-        perm, cuts = partition_aware_order(labels, p, weights=degrees)
+        perm, cuts = partition_layout(ds0.graph.indptr, ds0.graph.indices,
+                                      labels, p, weights=degrees)
         ds = reorder_dataset(ds0, perm).dataset
         pg = partition_graph(ds.graph, p, cuts=cuts)
         # --- partition-quality stats (VERDICT round-1 item 4): per-part halo
