@@ -41,6 +41,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["auto", "segment", "ell", "pallas", "dense", "bsr"],
                    help="graphsum backend")
     p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--halo-dtype", default="bfloat16", choices=["float32", "bfloat16"],
+                   help="wire format of --mesh halo payloads (bf16 halves the "
+                        "per-layer ppermute bytes; float32 for bit-exact "
+                        "single-chip parity)")
     p.add_argument("--feature-matmul", default="dense", choices=["dense", "sparse"],
                    help="layer-0 feature transform: densified X on the MXU, or "
                         "CSR-values SpMM (reference SparseMatmul parity)")
@@ -72,7 +76,8 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def config_from_args(args: argparse.Namespace) -> GCNConfig:
     cfg = GCNConfig(seed=args.seed, graphsum_backend=args.backend,
-                    compute_dtype=args.compute_dtype, feature_matmul=args.feature_matmul)
+                    compute_dtype=args.compute_dtype, halo_dtype=args.halo_dtype,
+                    feature_matmul=args.feature_matmul)
     updates: dict = {}
     for name, value in zip(_POSITIONAL, args.overrides):
         typ = float if name in _FLOAT_FIELDS else int

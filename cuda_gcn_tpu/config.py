@@ -42,6 +42,11 @@ class GCNConfig:
     feature_matmul: str = "dense"      # 'dense' (MXU) | 'sparse' (CSR values, reference-style)
     param_dtype: str = "float32"       # parameter dtype
     compute_dtype: str = "float32"     # activation dtype ('bfloat16' for MXU speed)
+    halo_dtype: str = "bfloat16"       # wire format of sharded halo payloads
+    # (parallel/sharded._cast_payload): bf16 halves every ppermute round's
+    # bytes in both directions — the comm term is what binds the >=80%
+    # scaling north star at reddit P=8 (artifacts/predicted_scaling_*.json).
+    # Set 'float32' for bit-exact parity with the single-chip path.
     bsr_budget_gb: float | None = None  # pin the BSR tile budget (GiB); None = the
     # auto HBM-derived policy (data/graph.auto_tile_budget). Pinning below auto
     # trades tile coverage (MXU work) for argument HBM — the knob that moves

@@ -40,11 +40,24 @@ from cuda_gcn_tpu.config import GCNConfig
 from cuda_gcn_tpu.data.parser import GCNDataset
 from cuda_gcn_tpu.ops import adam
 from cuda_gcn_tpu.ops.dropout import dropout
-from cuda_gcn_tpu.ops.graphsum import RectGraph, rect_graphsum
+from cuda_gcn_tpu.ops.graphsum import (RectGraph, _rect_apply, _zero_cotangent,
+                                       rect_graphsum)
 from cuda_gcn_tpu.ops.loss import l2_penalty
 from cuda_gcn_tpu.parallel.partition import PartitionedGraph, partition_graph
 
 GRAPH_AXIS = "graph"
+
+
+def _cast_payload(a: jnp.ndarray, halo_dtype: str) -> jnp.ndarray:
+    """Wire-format cast for halo payloads. ``halo_dtype='bfloat16'`` (the
+    production default, GCNConfig.halo_dtype) halves every ppermute round's
+    bytes: activations tolerate bf16 rounding (they are multiplied by f32
+    coefficients and accumulated in f32 on the receiving side), and the comm
+    term is what keeps reddit-1x P=8 from the >=80% unoverlapped scaling bound
+    (artifacts/predicted_scaling_reddit.json round 3: 0.786, binding term
+    comm). No-op when the compute dtype already matches."""
+    dt = jnp.dtype(halo_dtype)
+    return a if a.dtype == dt else a.astype(dt)
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -87,7 +100,8 @@ def _index_rect(rg: RectGraph, i: int) -> RectGraph:
 
 
 def halo_graphsum(own_h: jnp.ndarray, interior: RectGraph, boundary: RectGraph,
-                  send_secs, block: int) -> jnp.ndarray:
+                  send_secs, block: int,
+                  halo_dtype: str = "float32") -> jnp.ndarray:
     """One sharded aggregation: exchange halo rows while aggregating interior
     edges, then add the boundary contribution.
 
@@ -96,23 +110,98 @@ def halo_graphsum(own_h: jnp.ndarray, interior: RectGraph, boundary: RectGraph,
     q -> (q+k)%P, so each round's volume is the per-offset max need rather
     than the global worst pair. Returns [B, d] aggregated rows for owned
     nodes. The interior rect_graphsum does not depend on any collective
-    result, so XLA can run the rounds and the interior work concurrently.
+    result, so XLA can run the rounds and the interior work concurrently
+    (structural evidence: tests/test_overlap_hlo.py pins the compiled
+    schedule's start/done bracketing). Payloads ship in ``halo_dtype``
+    (_cast_payload); the autodiff backward casts the reverse-ppermute
+    cotangents to the same wire format (convert_element_type transposes to a
+    cast back onto the operand dtype), so both directions pay the reduced
+    bytes.
     """
     p = jax.lax.axis_size(GRAPH_AXIS)
     d = own_h.shape[1]
     parts = []
     for k, sidx in enumerate(send_secs, start=1):
-        send = own_h[sidx]
+        send = _cast_payload(own_h[sidx], halo_dtype)
         perm = [(q, (q + k) % p) for q in range(p)]
         parts.append(jax.lax.ppermute(send, GRAPH_AXIS, perm))
-    halo = (jnp.concatenate(parts, axis=0) if parts
+    halo = (jnp.concatenate(parts, axis=0).astype(own_h.dtype) if parts
             else jnp.zeros((boundary.n_in, d), own_h.dtype))
     interior_out = rect_graphsum(own_h, interior)       # overlaps the rounds
     halo_out = rect_graphsum(halo, boundary)
     return interior_out + halo_out
 
 
-def _per_device_forward(params, inputs: ShardedInputs, key, dropout_rate, training):
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _halo_pair_prim(halo_dtype, zt, ze, interior, boundary, send_secs):
+    """Width-concatenated halo aggregation of (train, eval) activations whose
+    BACKWARD runs at train width only — the sharded mirror of
+    ops/graphsum._graphsum_pair_prim. Without it, autodiff of the fused pair
+    forward ships 2d-wide cotangents through the reverse ppermute rounds and
+    aggregates 2d-wide transposes, with the eval half's cotangent identically
+    zero (it only feeds undifferentiated val metrics): 2x the backward comm
+    bytes and 2x the transpose aggregation work, for nothing."""
+    d = zt.shape[1]
+    p = jax.lax.axis_size(GRAPH_AXIS)
+    both = jnp.concatenate([zt, ze], axis=1)
+    parts = []
+    for k, sidx in enumerate(send_secs, start=1):
+        send = _cast_payload(both[sidx], halo_dtype)
+        perm = [(q, (q + k) % p) for q in range(p)]
+        parts.append(jax.lax.ppermute(send, GRAPH_AXIS, perm))
+    halo = (jnp.concatenate(parts, axis=0).astype(both.dtype) if parts
+            else jnp.zeros((boundary.n_in, both.shape[1]), both.dtype))
+    out = rect_graphsum(both, interior) + rect_graphsum(halo, boundary)
+    return out[:, :d], out[:, d:]
+
+
+def _halo_pair_fwd(halo_dtype, zt, ze, interior, boundary, send_secs):
+    out = _halo_pair_prim(halo_dtype, zt, ze, interior, boundary, send_secs)
+    return out, (interior, boundary, send_secs)
+
+
+def _halo_pair_bwd(halo_dtype, res, gs):
+    """Hand-written transpose of the (linear) pair forward at TRAIN width:
+    interior transpose + boundary transpose into the halo buffer, then the
+    inverse ppermute rounds scatter-add halo cotangents back onto their
+    senders' rows. Elementwise identical to autodiff of halo_graphsum at
+    width d (the bf16 wire cast lands at the same points)."""
+    interior, boundary, send_secs = res
+    g_t, g_e = gs  # the eval half's cotangent is zero by contract
+    p = jax.lax.axis_size(GRAPH_AXIS)
+    d_own = _rect_apply(g_t, interior, transpose=True)
+    g_halo = _rect_apply(g_t, boundary, transpose=True)  # [halo_space, d]
+    off = 0
+    for k, sidx in enumerate(send_secs, start=1):
+        sec = _cast_payload(g_halo[off: off + sidx.shape[0]], halo_dtype)
+        off += sidx.shape[0]
+        perm = [((q + k) % p, q) for q in range(p)]  # inverse of round k
+        back = jax.lax.ppermute(sec, GRAPH_AXIS, perm)
+        # pad slots ship row 0's value forward, but no boundary edge reads a
+        # pad halo row, so their cotangent here is exactly 0 — the add is
+        # the same scatter autodiff derives for own_h[sidx]
+        d_own = d_own.at[sidx].add(back.astype(d_own.dtype))
+    return (d_own.astype(g_t.dtype), jnp.zeros_like(g_e),
+            _zero_cotangent(interior), _zero_cotangent(boundary),
+            _zero_cotangent(send_secs))
+
+
+_halo_pair_prim.defvjp(_halo_pair_fwd, _halo_pair_bwd)
+
+
+def halo_graphsum_pair(zt, ze, interior: RectGraph, boundary: RectGraph,
+                       send_secs, halo_dtype: str = "float32"):
+    """(halo_graphsum(zt), stop_gradient(halo_graphsum(ze))) in ONE exchange +
+    aggregation at concatenated width, differentiating at train width (see
+    _halo_pair_prim). The eval output is stop_gradient'ed to make the
+    contract explicit, exactly like ops/graphsum.graphsum_pair."""
+    out_t, out_e = _halo_pair_prim(halo_dtype, zt, jax.lax.stop_gradient(ze),
+                                   interior, boundary, tuple(send_secs))
+    return out_t, jax.lax.stop_gradient(out_e)
+
+
+def _per_device_forward(params, inputs: ShardedInputs, key, dropout_rate,
+                        training, halo_dtype="float32"):
     """The SPMD program for one device: full GCN forward on the local slab.
 
     Note: ``inputs.x`` is already the local [B, F] slab here — the shard_map
@@ -134,7 +223,8 @@ def _per_device_forward(params, inputs: ShardedInputs, key, dropout_rate, traini
     for i in range(n_layers):
         h = dropout(h, dropout_rate, keys[i], training)
         h = jnp.dot(h, params[f"w{i + 1}"], preferred_element_type=jnp.float32).astype(h.dtype)
-        h = halo_graphsum(h, interior, boundary, send_secs, inputs.block)
+        h = halo_graphsum(h, interior, boundary, send_secs, inputs.block,
+                          halo_dtype)
         if i < n_layers - 1:
             h = jnp.maximum(h, 0.0)
     return h  # [B, C] local logits
@@ -160,15 +250,18 @@ def _psum_metrics(logits, truth):
 
 
 def _per_device_loss(params, inputs: ShardedInputs, truth_local, key,
-                     dropout_rate, training):
-    logits = _per_device_forward(params, inputs, key, dropout_rate, training)
+                     dropout_rate, training, halo_dtype="float32"):
+    logits = _per_device_forward(params, inputs, key, dropout_rate, training,
+                                 halo_dtype)
     return _psum_metrics(logits, truth_local)
 
 
-def _per_device_pair(params, inputs: ShardedInputs, key, dropout_rate):
+def _per_device_pair(params, inputs: ShardedInputs, key, dropout_rate,
+                     halo_dtype="float32"):
     """Fused train(dropout)+eval forwards on the local slab: one halo exchange
     and one local aggregation per layer at concatenated width (the multi-chip
-    version of gcn.apply_pair — also halves the all_to_all count per epoch)."""
+    version of gcn.apply_pair — also halves the all_to_all count per epoch).
+    The backward runs at TRAIN width (halo_graphsum_pair)."""
     interior = _index_rect(inputs.interior, 0)
     boundary = _index_rect(inputs.boundary, 0)
     send_secs = tuple(sec[0] for sec in inputs.send_secs)
@@ -180,13 +273,11 @@ def _per_device_pair(params, inputs: ShardedInputs, key, dropout_rate):
     ht = he = inputs.x
     for i in range(n_layers):
         w = params[f"w{i + 1}"]
-        d = w.shape[1]
         zt = jnp.dot(dropout(ht, dropout_rate, keys[i], True), w,
                      preferred_element_type=jnp.float32).astype(ht.dtype)
         ze = jnp.dot(he, w, preferred_element_type=jnp.float32).astype(he.dtype)
-        both = halo_graphsum(jnp.concatenate([zt, ze], axis=1), interior, boundary,
-                             send_secs, inputs.block)
-        ht, he = both[:, :d], both[:, d:]
+        ht, he = halo_graphsum_pair(zt, ze, interior, boundary, send_secs,
+                                    halo_dtype)
         if i < n_layers - 1:
             ht = jnp.maximum(ht, 0.0)
             he = jnp.maximum(he, 0.0)
@@ -194,8 +285,8 @@ def _per_device_pair(params, inputs: ShardedInputs, key, dropout_rate):
 
 
 def _per_device_pair_loss(params, inputs, truth_train_local, truth_val_local,
-                          key, dropout_rate):
-    lt, le = _per_device_pair(params, inputs, key, dropout_rate)
+                          key, dropout_rate, halo_dtype="float32"):
+    lt, le = _per_device_pair(params, inputs, key, dropout_rate, halo_dtype)
     tl, ta = _psum_metrics(lt, truth_train_local)
     vl, va = _psum_metrics(le, truth_val_local)
     return tl, (ta, vl, va)
@@ -213,12 +304,14 @@ def _spec_inputs_of(inputs: ShardedInputs) -> ShardedInputs:
 
 
 def sharded_loss_fn(mesh: Mesh, params, inputs: ShardedInputs, truth, key,
-                    *, dropout_rate: float, weight_decay: float, training: bool):
+                    *, dropout_rate: float, weight_decay: float, training: bool,
+                    halo_dtype: str = "float32"):
     """shard_map-wrapped loss; differentiable in params. truth: [P*B] global."""
     spec_inputs = _spec_inputs_of(inputs)
 
     fn = jax.shard_map(
-        partial(_per_device_loss, dropout_rate=dropout_rate, training=training),
+        partial(_per_device_loss, dropout_rate=dropout_rate, training=training,
+                halo_dtype=halo_dtype),
         mesh=mesh,
         in_specs=(P(), spec_inputs, P(GRAPH_AXIS), P()),
         out_specs=(P(), P()),
@@ -275,7 +368,8 @@ def make_sharded_train_step(mesh: Mesh, cfg: GCNConfig):
         (loss, acc), grads = jax.value_and_grad(
             lambda p: sharded_loss_fn(mesh, p, inputs, truth, subkey,
                                       dropout_rate=cfg.dropout,
-                                      weight_decay=cfg.weight_decay, training=True),
+                                      weight_decay=cfg.weight_decay, training=True,
+                                      halo_dtype=cfg.halo_dtype),
             has_aux=True)(state.params)
         params, opt = adam.apply(state.params, grads, state.opt,
                                  adam.AdamParams(lr=cfg.learning_rate))
@@ -295,7 +389,8 @@ def make_sharded_run_epochs(mesh: Mesh, cfg: GCNConfig):
     @partial(jax.jit, static_argnames=("epochs",), donate_argnums=(0,))
     def run(state, inputs: ShardedInputs, truth_train, truth_val, *, epochs: int):
         fused = jax.shard_map(
-            partial(_per_device_pair_loss, dropout_rate=cfg.dropout),
+            partial(_per_device_pair_loss, dropout_rate=cfg.dropout,
+                    halo_dtype=cfg.halo_dtype),
             mesh=mesh,
             in_specs=(P(), _spec_inputs_of(inputs), P(GRAPH_AXIS), P(GRAPH_AXIS), P()),
             out_specs=(P(), (P(), P(), P())),
@@ -319,7 +414,8 @@ def make_sharded_run_epochs(mesh: Mesh, cfg: GCNConfig):
         state, (tl, ta, vl, va) = jax.lax.scan(body, state, None, length=epochs)
         vl_last, va_last = sharded_loss_fn(
             mesh, state.params, inputs, truth_val, jax.random.PRNGKey(0),
-            dropout_rate=0.0, weight_decay=cfg.weight_decay, training=False)
+            dropout_rate=0.0, weight_decay=cfg.weight_decay, training=False,
+            halo_dtype=cfg.halo_dtype)
         vl = jnp.concatenate([vl[1:], vl_last[None]])
         va = jnp.concatenate([va[1:], va_last[None]])
         return state, (tl, ta, vl, va)
@@ -367,7 +463,8 @@ def make_sharded_run_epochs_es(mesh: Mesh, cfg: GCNConfig):
         def train_metrics(params, key):
             return sharded_loss_fn(mesh, params, inputs, truth_train, key,
                                    dropout_rate=cfg.dropout,
-                                   weight_decay=cfg.weight_decay, training=True)
+                                   weight_decay=cfg.weight_decay, training=True,
+                                   halo_dtype=cfg.halo_dtype)
 
         def cond(carry):
             _, i, stop, _, _ = carry
@@ -385,7 +482,8 @@ def make_sharded_run_epochs_es(mesh: Mesh, cfg: GCNConfig):
             state = TrainState(params=params, opt=opt, key=key)
             vl, va = sharded_loss_fn(mesh, params, inputs, truth_val,
                                      jax.random.PRNGKey(0), dropout_rate=0.0,
-                                     weight_decay=cfg.weight_decay, training=False)
+                                     weight_decay=cfg.weight_decay, training=False,
+                                     halo_dtype=cfg.halo_dtype)
             metrics = jax.lax.dynamic_update_slice(
                 metrics, jnp.stack([tl, ta, vl, va])[None].astype(jnp.float32),
                 (i, 0))
@@ -438,7 +536,7 @@ def make_sharded_eval_step(mesh: Mesh, cfg: GCNConfig):
         # dummy key: unused in eval mode, but keeps the shard_map arg structure static
         return sharded_loss_fn(mesh, params, inputs, truth, jax.random.PRNGKey(0),
                                dropout_rate=0.0, weight_decay=cfg.weight_decay,
-                               training=False)
+                               training=False, halo_dtype=cfg.halo_dtype)
 
     return step
 

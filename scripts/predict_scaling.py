@@ -35,10 +35,17 @@ import sys
 C_EDGE_NS_MEASURED = 3.73   # sharded P=1 reddit: 313 ms / (21.0M nnz * 4 passes)
 C_EDGE_NS_PESSIMISTIC = 12.3  # flat HBM random-row gather floor
 PASSES_PER_EPOCH = 4        # fused pair loop (train.run_epochs pass-fusion)
-# fused pair widths: layer-1 pair 2*16, layer-2 pair 2*41 (fwd), transposes
-# same widths backward -> total rows*width factor per epoch
-WIDTH_SUM = 2 * (2 * 16 + 2 * 41)
-ROW_BYTES_PER_WIDTH = 4     # f32
+# Per-epoch halo row*width traffic (reddit profile dims 16 hidden / 41 out):
+# each layer's FORWARD exchange ships the width-concatenated [zt|ze] pair
+# (2*16 + 2*41), and the BACKWARD ships TRAIN width only — the fused pair's
+# hand transpose differentiates at train width (parallel/sharded.py
+# halo_graphsum_pair; round 3's model billed the transposes at pair width,
+# which the round-4 primitive made both untrue and unnecessary).
+WIDTH_SUM = (2 * 16 + 2 * 41) + (16 + 41)
+# Wire format of halo payloads: bf16 by default (GCNConfig.halo_dtype,
+# parallel/sharded._cast_payload — tests/test_parallel.py pins that every
+# lowered collective_permute operand is bf16), halving the round-3 f32 bytes.
+ROW_BYTES_PER_WIDTH = 2
 # --- stated assumption: ICI effective bandwidth per link per direction.
 # TPU v5e ICI is ~45 GB/s per direction per link (public spec order); the
 # model bills every round's traffic to ONE link+direction, which double-counts

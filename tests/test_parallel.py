@@ -2,6 +2,8 @@
 coverage, sharded forward == single-device forward, sharded training step ==
 single-device training step (allclose)."""
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -88,7 +90,7 @@ def test_edge_balanced_cuts_with_cluster_snap():
 
 def test_sharded_forward_matches_single(tiny_dataset, mesh):
     ds = tiny_dataset
-    cfg = ds.apply_config(GCNConfig(hidden_dim=8))
+    cfg = ds.apply_config(GCNConfig(hidden_dim=8, halo_dtype="float32"))
     params = gcn.init_params(jax.random.PRNGKey(3), cfg.layer_dims())
 
     graph = build_graph(ds.graph, backend="segment")
@@ -113,7 +115,7 @@ def test_sharded_tiled_interior_matches_single(tiny_dataset):
     Blocked2DDev path)."""
     ds = tiny_dataset
     mesh2 = sharded.make_mesh(2)
-    cfg = ds.apply_config(GCNConfig(hidden_dim=8))
+    cfg = ds.apply_config(GCNConfig(hidden_dim=8, halo_dtype="float32"))
     params = gcn.init_params(jax.random.PRNGKey(3), cfg.layer_dims())
 
     graph = build_graph(ds.graph, backend="segment")
@@ -159,7 +161,8 @@ def test_sharded_train_step_matches_single(tiny_dataset, mesh):
     """One no-dropout training step must produce identical weights to the
     single-device path (same grads through halo exchange + transposes)."""
     ds = tiny_dataset
-    cfg = ds.apply_config(GCNConfig(hidden_dim=8, dropout=0.0, learning_rate=0.05))
+    cfg = ds.apply_config(GCNConfig(hidden_dim=8, dropout=0.0, learning_rate=0.05,
+                                    halo_dtype="float32"))
 
     state_a = train_mod.create_state(cfg)
     state_b = jax.tree_util.tree_map(jnp.copy, state_a)
@@ -252,7 +255,7 @@ def test_sharded_three_layer_matches_single(tiny_dataset):
     (src/seq/gcn.cpp:21-59); our depth generality has to hold under SPMD too."""
     ds = tiny_dataset
     mesh2 = sharded.make_mesh(2)
-    cfg = ds.apply_config(GCNConfig(hidden_dims=(16, 8)))
+    cfg = ds.apply_config(GCNConfig(hidden_dims=(16, 8), halo_dtype="float32"))
     params = gcn.init_params(jax.random.PRNGKey(5), cfg.layer_dims())
     assert len(params) == 3
 
@@ -274,7 +277,8 @@ def test_run_sharded_matches_single_device_run(tiny_dataset):
     output contract) must reproduce the single-device train.run metrics when
     dropout is off (per-device RNG streams are the only sanctioned divergence)."""
     mesh2 = sharded.make_mesh(2)
-    cfg = GCNConfig(hidden_dim=8, dropout=0.0, epochs=5, seed=0)
+    cfg = GCNConfig(hidden_dim=8, dropout=0.0, epochs=5, seed=0,
+                    halo_dtype="float32")
     r_single = train_mod.run(cfg, tiny_dataset, verbose=False)
     r_shard = sharded.run_sharded(cfg, tiny_dataset, mesh2, verbose=False)
     assert r_shard.epochs_run == r_single.epochs_run
@@ -324,7 +328,7 @@ def test_run_sharded_early_stopping_full_loop(tiny_dataset):
     report the truncated history (parity with train.run's ES output)."""
     mesh2 = sharded.make_mesh(2)
     cfg = GCNConfig(hidden_dim=8, epochs=60, early_stopping=4, seed=0,
-                    learning_rate=0.6, dropout=0.0)
+                    learning_rate=0.6, dropout=0.0, halo_dtype="float32")
     r_single = train_mod.run(cfg, tiny_dataset, verbose=False)
     r_shard = sharded.run_sharded(cfg, tiny_dataset, mesh2, verbose=False)
     assert r_shard.epochs_run == r_single.epochs_run < cfg.epochs
@@ -535,3 +539,106 @@ def test_lpa_collapse_guard():
     assert np.array_equal(guarded_tiny, r1)
     guarded_off = label_propagation(ip, indices, rounds=4, max_top_share=1.0)
     assert np.array_equal(guarded_off, r4)
+
+
+def test_bf16_halo_payload_tolerance_and_wire_format(tiny_dataset):
+    """halo_dtype='bfloat16' (the production default, GCNConfig.halo_dtype):
+    (a) the lowered SPMD program must actually ship bf16 over the wire (every
+    collective_permute operand tensor is bf16 — the comm-bytes halving the
+    scaling projection bills, scripts/predict_scaling.py), and (b) metrics and
+    gradients must match the f32-halo path at bf16 tolerance."""
+    ds = tiny_dataset
+    mesh2 = sharded.make_mesh(2)
+    cfg32 = ds.apply_config(GCNConfig(hidden_dim=8, halo_dtype="float32"))
+    cfg16 = ds.apply_config(GCNConfig(hidden_dim=8, halo_dtype="bfloat16"))
+    params = gcn.init_params(jax.random.PRNGKey(3), cfg32.layer_dims())
+    _, inputs, truths = sharded.prepare_sharded(cfg32, ds, mesh2)
+
+    def loss_of(cfg):
+        def f(p):
+            return sharded.sharded_loss_fn(
+                mesh2, p, inputs, truths[3], jax.random.PRNGKey(0),
+                dropout_rate=0.0, weight_decay=cfg.weight_decay,
+                training=False, halo_dtype=cfg.halo_dtype)[0]
+        return f
+
+    # (a) wire format: every collective_permute in the lowered text is bf16
+    txt = jax.jit(loss_of(cfg16)).lower(params).as_text()
+    import re
+    cps = [ln for ln in txt.splitlines() if "collective_permute" in ln]
+    assert cps, "expected ppermute rounds in the lowered program"
+    for ln in cps:
+        # the operand/result signature is the trailing ": (tensor<...>) -> ..."
+        sig = ln.rsplit(" : ", 1)[-1]
+        types = re.findall(r"tensor<[^>]*x(\w+)>", sig)
+        assert types and all(t == "bf16" for t in types), ln
+    txt32 = jax.jit(loss_of(cfg32)).lower(params).as_text()
+    cps32 = [ln for ln in txt32.splitlines() if "collective_permute" in ln]
+    assert any("f32" in ln.rsplit(" : ", 1)[-1] for ln in cps32)  # control
+
+    # (b) value + grad tolerance vs the f32 halo path
+    l16, g16 = jax.value_and_grad(loss_of(cfg16))(params)
+    l32, g32 = jax.value_and_grad(loss_of(cfg32))(params)
+    np.testing.assert_allclose(float(l16), float(l32), rtol=5e-3)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g16[k]), np.asarray(g32[k]),
+                                   rtol=0.05, atol=5e-4)
+
+
+def test_halo_pair_backward_matches_autodiff(tiny_dataset):
+    """halo_graphsum_pair's hand-written train-width backward must equal
+    autodiff of the plain (autodiff'd) halo_graphsum at the train half, for
+    both f32 and bf16 wire formats."""
+    ds = tiny_dataset
+    mesh2 = sharded.make_mesh(2)
+    cfg = ds.apply_config(GCNConfig(hidden_dim=8))
+    _, inputs, truths = sharded.prepare_sharded(cfg, ds, mesh2)
+    d = 8
+    rng = np.random.default_rng(0)
+    z_np = rng.standard_normal((inputs.x.shape[0], d)).astype(np.float32)
+    ct_np = rng.standard_normal((inputs.x.shape[0], d)).astype(np.float32)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh2, P(sharded.GRAPH_AXIS))
+    z = jax.device_put(jnp.asarray(z_np), sh)
+    ct = jax.device_put(jnp.asarray(ct_np), sh)
+
+    for wire in ("float32", "bfloat16"):
+        def pair_half(zt, ze):
+            interior = sharded._index_rect(inputs.interior, 0)
+            boundary = sharded._index_rect(inputs.boundary, 0)
+            secs = tuple(sec[0] for sec in inputs.send_secs)
+            out_t, _ = sharded.halo_graphsum_pair(zt, ze, interior, boundary,
+                                                  secs, wire)
+            return out_t
+
+        def plain(zt):
+            interior = sharded._index_rect(inputs.interior, 0)
+            boundary = sharded._index_rect(inputs.boundary, 0)
+            secs = tuple(sec[0] for sec in inputs.send_secs)
+            return sharded.halo_graphsum(zt, interior, boundary, secs,
+                                         inputs.block, wire)
+
+        def vjp_pair(zt, ze, c):
+            y, pull = jax.vjp(lambda a: pair_half(a, ze), zt)
+            return y, pull(c)[0]
+
+        def vjp_plain(zt, c):
+            y, pull = jax.vjp(plain, zt)
+            return y, pull(c)[0]
+
+        smap = partial(jax.shard_map, mesh=mesh2,
+                       in_specs=(P(sharded.GRAPH_AXIS),) ,
+                       out_specs=(P(sharded.GRAPH_AXIS), P(sharded.GRAPH_AXIS)))
+        y_pair, g_pair = jax.jit(jax.shard_map(
+            vjp_pair, mesh=mesh2,
+            in_specs=(P(sharded.GRAPH_AXIS),) * 3,
+            out_specs=(P(sharded.GRAPH_AXIS),) * 2))(z, z, ct)
+        y_plain, g_plain = jax.jit(jax.shard_map(
+            vjp_plain, mesh=mesh2,
+            in_specs=(P(sharded.GRAPH_AXIS),) * 2,
+            out_specs=(P(sharded.GRAPH_AXIS),) * 2))(z, ct)
+        np.testing.assert_allclose(np.asarray(y_pair), np.asarray(y_plain),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_pair), np.asarray(g_plain),
+                                   rtol=1e-6, atol=1e-6)
