@@ -11,7 +11,11 @@ CUDA grids on one GPU, SURVEY.md §2.4). Design:
   buffer sized to that offset's max need — volume tracks actual boundary
   structure), (3) sorted-segment aggregation over local edges whose
   destinations index the concatenated ``[own | halo]`` buffer. XLA overlaps
-  the collectives with the independent dense matmul / local compute.
+  the collectives with the independent dense matmul / local compute —
+  verified structurally, not assumed: the v5e-4-scheduled HLO places every
+  ppermute as an async collective-permute-start/done pair with interior
+  work in flight between them (scripts/exp_overlap_hlo.py;
+  artifacts/overlap_hlo_v5e-4.json; pinned by tests/test_overlap_hlo.py).
 * Weights are replicated (they are tiny: F×16, 16×C); their gradients emerge
   correctly via shard_map's replication rules when ``jax.grad`` is taken
   *outside* the shard_mapped loss. The loss itself reduces with ``psum`` so the
@@ -75,7 +79,8 @@ class ShardedInputs:
     The local edge set is carried SPLIT into interior (own-block destinations)
     and boundary (halo destinations) operators so the per-layer all_to_all and
     the interior aggregation have no data dependence — XLA's latency-hiding
-    scheduler overlaps them (SURVEY.md §5 halo-overlap north star)."""
+    scheduler overlaps them (SURVEY.md §5 halo-overlap north star; schedule
+    evidence: artifacts/overlap_hlo_v5e-4.json)."""
 
     interior: RectGraph    # leaves [P, Eimax]
     boundary: RectGraph    # leaves [P, Ebmax]
@@ -320,12 +325,18 @@ def sharded_loss_fn(mesh: Mesh, params, inputs: ShardedInputs, truth, key,
     return loss + l2_penalty(params["w1"], weight_decay), acc
 
 
-def make_sharded_inputs(pg: PartitionedGraph, x: np.ndarray, mesh: Mesh) -> ShardedInputs:
-    """Device-put the stacked partition arrays with the right shardings."""
+def make_sharded_inputs(pg: PartitionedGraph, x: np.ndarray, mesh: Mesh,
+                        put=None) -> ShardedInputs:
+    """Device-put the stacked partition arrays with the right shardings.
+
+    ``put`` overrides the leaf placement — e.g. a ShapeDtypeStruct factory for
+    AOT lowering against an unattached TPU topology (scripts/exp_overlap_hlo.py
+    compiles the multi-chip program without multi-chip hardware)."""
     sh = NamedSharding(mesh, P(GRAPH_AXIS))
 
-    def put(a):
-        return jax.device_put(jnp.asarray(a), sh)
+    if put is None:
+        def put(a):
+            return jax.device_put(jnp.asarray(a), sh)
 
     tile_kw: dict = {}
     if pg.i_tiles is not None:
