@@ -27,6 +27,25 @@ import numpy as np
 from cuda_gcn_tpu.data.parser import CSR, GCNDataset
 
 
+# Bump whenever label_propagation's ALGORITHM changes (not just its speed):
+# cached label files are keyed on (this version, graph contents), so a bump
+# invalidates every committed/stale cache instead of silently reusing labels
+# from an older algorithm (e.g. v1 -> v2 added the collapse guard).
+LPA_VERSION = 2
+
+
+def lpa_cache_key(indptr: np.ndarray, indices: np.ndarray) -> str:
+    """Short content hash tying an LPA label cache file to the exact graph
+    and LPA_VERSION that produced it (scripts/bench_scaling.py)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(np.int64(LPA_VERSION).tobytes())
+    h.update(np.ascontiguousarray(indptr).tobytes())
+    h.update(np.ascontiguousarray(indices).tobytes())
+    return h.hexdigest()[:12]
+
+
 def label_propagation(indptr: np.ndarray, indices: np.ndarray, rounds: int = 4,
                       seed_labels: np.ndarray | None = None,
                       prefer_native: bool = True,

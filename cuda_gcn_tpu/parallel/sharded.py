@@ -42,11 +42,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cuda_gcn_tpu.config import GCNConfig
 from cuda_gcn_tpu.data.parser import GCNDataset
+from cuda_gcn_tpu.models.gcn import _layer0_transform
 from cuda_gcn_tpu.ops import adam
 from cuda_gcn_tpu.ops.dropout import dropout
 from cuda_gcn_tpu.ops.graphsum import (RectGraph, _rect_apply, _zero_cotangent,
                                        rect_graphsum)
 from cuda_gcn_tpu.ops.loss import l2_penalty
+from cuda_gcn_tpu.ops.matmul import BandedFeatures, SparseFeatures, dense_matmul
 from cuda_gcn_tpu.parallel.partition import PartitionedGraph, partition_graph
 
 GRAPH_AXIS = "graph"
@@ -85,7 +87,11 @@ class ShardedInputs:
     interior: RectGraph    # leaves [P, Eimax]
     boundary: RectGraph    # leaves [P, Ebmax]
     send_secs: tuple       # P-1 arrays [P, hmax_k]: round-k ship lists
-    x: jnp.ndarray         # [P*B, F]
+    # dense: [P*B, F] array (shard_map splits the row axis). Sparse layer-0
+    # (cfg.feature_matmul == 'sparse'): a BandedFeatures / SparseFeatures
+    # pytree whose stacked leaves lead with the part axis (ops/matmul.py
+    # make_*_features_parts) — _local_features selects the device's slab.
+    x: Any
     block: int
     n_local: int
 
@@ -102,6 +108,29 @@ def _index_rect(rg: RectGraph, i: int) -> RectGraph:
     """Select one part's slice from stacked [P, ...] leaves (covers the COO
     fields and, when present, the tile arrays and Blocked2DDev residuals)."""
     return jax.tree_util.tree_map(lambda a: a[i], rg)
+
+
+def _local_features(x):
+    """The device-local feature input inside shard_map. Dense x arrives
+    already split ([B, F] — its spec splits the global row axis); the sparse
+    pytrees arrive with a leading part axis of 1 to strip (same convention as
+    the interior/boundary RectGraphs)."""
+    if isinstance(x, (BandedFeatures, SparseFeatures)):
+        return jax.tree_util.tree_map(lambda a: a[0], x)
+    return x
+
+
+def _vary_for_layer0(w, x_local):
+    """Mark the replicated layer-0 weight device-varying before a sparse
+    feature transform. banded_matmul's custom VJP is opaque to shard_map's
+    varying-axes inference: its dW cotangent is computed from device-varying
+    data, and without this cast shard_map cannot justify the replicated P()
+    out-spec of the params cotangent. pcast's transpose is the psum that
+    correctly all-reduces the per-device dW (exactly what autodiff inserts
+    automatically on the dense path's jnp.dot)."""
+    if isinstance(x_local, (BandedFeatures, SparseFeatures)):
+        return jax.lax.pcast(w, GRAPH_AXIS, to="varying")
+    return w
 
 
 def halo_graphsum(own_h: jnp.ndarray, interior: RectGraph, boundary: RectGraph,
@@ -224,10 +253,18 @@ def _per_device_forward(params, inputs: ShardedInputs, key, dropout_rate,
     else:
         keys = [None] * n_layers
 
-    h = inputs.x
+    h = _local_features(inputs.x)
     for i in range(n_layers):
-        h = dropout(h, dropout_rate, keys[i], training)
-        h = jnp.dot(h, params[f"w{i + 1}"], preferred_element_type=jnp.float32).astype(h.dtype)
+        if i == 0:
+            # dense / CSR / banded layer-0 dispatch, shared with the
+            # single-chip model — each device transforms its own feature slab
+            # into [B, H], no collective needed (X rows are owned rows)
+            h = _layer0_transform(h, _vary_for_layer0(params["w1"], h),
+                                  dropout_rate, keys[0], training)
+        else:
+            h = dropout(h, dropout_rate, keys[i], training)
+            h = jnp.dot(h, params[f"w{i + 1}"],
+                        preferred_element_type=jnp.float32).astype(h.dtype)
         h = halo_graphsum(h, interior, boundary, send_secs, inputs.block,
                           halo_dtype)
         if i < n_layers - 1:
@@ -275,12 +312,18 @@ def _per_device_pair(params, inputs: ShardedInputs, key, dropout_rate,
     key = jax.random.fold_in(key, jax.lax.axis_index(GRAPH_AXIS))
     keys = jax.random.split(key, n_layers)
 
-    ht = he = inputs.x
+    ht = he = _local_features(inputs.x)
     for i in range(n_layers):
         w = params[f"w{i + 1}"]
-        zt = jnp.dot(dropout(ht, dropout_rate, keys[i], True), w,
-                     preferred_element_type=jnp.float32).astype(ht.dtype)
-        ze = jnp.dot(he, w, preferred_element_type=jnp.float32).astype(he.dtype)
+        if i == 0:
+            w0 = _vary_for_layer0(w, ht)
+            zt = _layer0_transform(ht, w0, dropout_rate, keys[0], True)
+            ze = _layer0_transform(he, w0, 0.0, None, False)
+        else:
+            zt = jnp.dot(dropout(ht, dropout_rate, keys[i], True), w,
+                         preferred_element_type=jnp.float32).astype(ht.dtype)
+            ze = jnp.dot(he, w,
+                         preferred_element_type=jnp.float32).astype(he.dtype)
         ht, he = halo_graphsum_pair(zt, ze, interior, boundary, send_secs,
                                     halo_dtype)
         if i < n_layers - 1:
@@ -302,10 +345,13 @@ def _spec_inputs_of(inputs: ShardedInputs) -> ShardedInputs:
     def rect_spec(rg):
         return jax.tree_util.tree_map(lambda _: P(GRAPH_AXIS), rg)
 
+    x_spec = (jax.tree_util.tree_map(lambda _: P(GRAPH_AXIS), inputs.x)
+              if isinstance(inputs.x, (BandedFeatures, SparseFeatures))
+              else P(GRAPH_AXIS))
     return ShardedInputs(
         interior=rect_spec(inputs.interior), boundary=rect_spec(inputs.boundary),
         send_secs=tuple(P(GRAPH_AXIS) for _ in inputs.send_secs),
-        x=P(GRAPH_AXIS), block=inputs.block, n_local=inputs.n_local)
+        x=x_spec, block=inputs.block, n_local=inputs.n_local)
 
 
 def sharded_loss_fn(mesh: Mesh, params, inputs: ShardedInputs, truth, key,
@@ -363,10 +409,16 @@ def make_sharded_inputs(pg: PartitionedGraph, x: np.ndarray, mesh: Mesh,
         rows=put(pg.b_src), cols=put(pg.b_dst), coef=put(pg.b_coef),
         t_rows=put(pg.bt_src), t_cols=put(pg.bt_dst), t_coef=put(pg.bt_coef),
         n_out=pg.block, n_in=pg.halo_space)
+    if isinstance(x, (BandedFeatures, SparseFeatures)):
+        # stacked per-part sparse features (make_*_features_parts): every
+        # leaf already leads with the part axis — put leaves as-is
+        x_dev = jax.tree_util.tree_map(put, x)
+    else:
+        x_dev = put(pg.pad_nodes(x))
     return ShardedInputs(
         interior=interior, boundary=boundary,
         send_secs=tuple(put(sec) for sec in pg.send_secs),
-        x=put(pg.pad_nodes(x)),
+        x=x_dev,
         block=pg.block, n_local=pg.n_local)
 
 
@@ -594,7 +646,24 @@ def prepare_sharded(cfg: GCNConfig, dataset: GCNDataset, mesh: Mesh,
                           and block > DENSE_BACKEND_MAX_NODES))
     pg = partition_graph(dataset.graph, n_parts, interior_tiles=interior_tiles,
                          **partition_kwargs)
-    x = dataset.dense_features(np.dtype(cfg.compute_dtype))
+    if cfg.feature_matmul == "sparse":
+        # keep huge feature matrices sparse on the mesh too (round-3 gap:
+        # 16x-reddit dense X is 9.5 GB global — the very workload class the
+        # partition layer exists for). The banded/CSR threshold tests the
+        # PER-DEVICE slab: the segment-output cliff (docs/PERF.md) is about
+        # one device's [block, d] output, not the global node count.
+        from cuda_gcn_tpu.ops.matmul import (BANDED_FEATURES_MIN_ROWS,
+                                             make_banded_features_parts,
+                                             make_sparse_features_parts)
+
+        fi = dataset.feature_index
+        make = (make_banded_features_parts
+                if pg.block >= BANDED_FEATURES_MIN_ROWS
+                else make_sparse_features_parts)
+        x = make(fi.indptr, fi.indices, dataset.feature_value, pg.bounds,
+                 pg.block, cfg.input_dim, np.dtype(cfg.compute_dtype))
+    else:
+        x = dataset.dense_features(np.dtype(cfg.compute_dtype))
     inputs = make_sharded_inputs(pg, x, mesh)
     sh = NamedSharding(mesh, P(GRAPH_AXIS))
     truths = {}

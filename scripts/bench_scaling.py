@@ -58,6 +58,7 @@ def main() -> int:
     # greedy-spread across parts, reorder.partition_aware_order), so the
     # dataset is relabeled inside the P loop below.
     from cuda_gcn_tpu.data.reorder import (label_propagation,
+                                           lpa_cache_key,
                                            partition_layout,
                                            reorder_dataset)
 
@@ -68,10 +69,13 @@ def main() -> int:
 
     from bench import CACHE_DIR
 
-    lpa_cache = os.path.join(CACHE_DIR, f"{name}.lpa.npy")
+    # filename keyed on (graph contents, LPA_VERSION) so stale labels from an
+    # older graph build or LPA algorithm are never silently reused
+    key = lpa_cache_key(ds0.graph.indptr, ds0.graph.indices)
+    lpa_cache = os.path.join(CACHE_DIR, f"{name}.lpa.{key}.npy")
     if os.path.exists(lpa_cache):
         labels = np.load(lpa_cache)
-        print(f"loaded cached LPA labels for {name}", file=sys.stderr)
+        print(f"loaded cached LPA labels for {name} ({key})", file=sys.stderr)
     else:
         labels = label_propagation(ds0.graph.indptr, ds0.graph.indices)
         os.makedirs(CACHE_DIR, exist_ok=True)

@@ -642,3 +642,76 @@ def test_halo_pair_backward_matches_autodiff(tiny_dataset):
                                    rtol=1e-6, atol=1e-6)
         np.testing.assert_allclose(np.asarray(g_pair), np.asarray(g_plain),
                                    rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("layout", ["csr", "banded"])
+def test_sharded_sparse_features_match_dense(tiny_dataset, layout, monkeypatch):
+    """cfg.feature_matmul='sparse' on the mesh (per-part stacked SparseFeatures
+    below the banded threshold, BandedFeatures above it) must match the dense
+    sharded path: eval metrics, gradients, and 3 fused training epochs at
+    dropout=0 — and still train with dropout on. Closes the round-3 gap where
+    prepare_sharded densified unconditionally (sharded.py:488 then)."""
+    from cuda_gcn_tpu.ops import matmul as matmul_mod
+
+    if layout == "banded":
+        monkeypatch.setattr(matmul_mod, "BANDED_FEATURES_MIN_ROWS", 1)
+        monkeypatch.setattr(matmul_mod, "FEAT_BAND_ROWS", 16)
+
+    ds = tiny_dataset
+    mesh2 = sharded.make_mesh(2)
+    cfg_d = ds.apply_config(GCNConfig(hidden_dim=8, dropout=0.0,
+                                      halo_dtype="float32"))
+    cfg_s = ds.apply_config(GCNConfig(hidden_dim=8, dropout=0.0,
+                                      halo_dtype="float32",
+                                      feature_matmul="sparse"))
+
+    cfg_d, in_d, truths = sharded.prepare_sharded(cfg_d, ds, mesh2)
+    cfg_s, in_s, _ = sharded.prepare_sharded(cfg_s, ds, mesh2)
+    want = (matmul_mod.BandedFeatures if layout == "banded"
+            else matmul_mod.SparseFeatures)
+    assert isinstance(in_s.x, want)
+
+    params = gcn.init_params(jax.random.PRNGKey(3), cfg_d.layer_dims())
+    ev_d = sharded.make_sharded_eval_step(mesh2, cfg_d)
+    ev_s = sharded.make_sharded_eval_step(mesh2, cfg_s)
+    ld, ad = ev_d(params, in_d, truths[3])
+    ls, as_ = ev_s(params, in_s, truths[3])
+    np.testing.assert_allclose(float(ls), float(ld), rtol=1e-5)
+    np.testing.assert_allclose(float(as_), float(ad), rtol=1e-6)
+
+    # gradients through the sparse layer-0 on the mesh == dense-path gradients
+    def loss_of(inputs):
+        def f(p):
+            return sharded.sharded_loss_fn(
+                mesh2, p, inputs, truths[1], jax.random.PRNGKey(0),
+                dropout_rate=0.0, weight_decay=cfg_d.weight_decay,
+                training=False)[0]
+        return f
+
+    gd = jax.grad(loss_of(in_d))(params)
+    gs = jax.grad(loss_of(in_s))(params)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(gs[k]), np.asarray(gd[k]),
+                                   rtol=1e-4, atol=1e-6)
+
+    # 3 fused train+eval epochs (the production sharded loop) must agree
+    state_d = train_mod.create_state(cfg_d)
+    state_s = jax.tree_util.tree_map(jnp.copy, state_d)
+    run_d = sharded.make_sharded_run_epochs(mesh2, cfg_d)
+    run_s = sharded.make_sharded_run_epochs(mesh2, cfg_s)
+    _, md = run_d(state_d, in_d, truths[1], truths[2], epochs=3)
+    _, ms = run_s(state_s, in_s, truths[1], truths[2], epochs=3)
+    for a, b in zip(ms, md):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    # dropout ON: the value-dropout layer-0 path must still produce finite
+    # training metrics on the mesh
+    cfg_do = ds.apply_config(GCNConfig(hidden_dim=8, dropout=0.5,
+                                       halo_dtype="float32",
+                                       feature_matmul="sparse"))
+    cfg_do, in_do, t_do = sharded.prepare_sharded(cfg_do, ds, mesh2)
+    run_do = sharded.make_sharded_run_epochs(mesh2, cfg_do)
+    _, mdo = run_do(train_mod.create_state(cfg_do), in_do, t_do[1], t_do[2],
+                    epochs=3)
+    assert np.all(np.isfinite(np.asarray(mdo[0])))
