@@ -488,7 +488,8 @@ def make_sharded_run_epochs(mesh: Mesh, cfg: GCNConfig):
 
 def run_sharded_epochs_chunked(mesh: Mesh, cfg: GCNConfig, state, inputs,
                                truth_train, truth_val, *, epochs: int,
-                               chunk: int | None = None, run=None):
+                               chunk: int | None = None, run=None,
+                               times_out: list | None = None):
     """make_sharded_run_epochs in fixed-size chunks, materializing metrics
     between chunks (the sharded analog of train.run_epochs_chunked — bounds
     single-device-program runtime, which matters on tunneled backends).
@@ -507,7 +508,8 @@ def run_sharded_epochs_chunked(mesh: Mesh, cfg: GCNConfig, state, inputs,
                                  epochs=k)
         return m
 
-    metrics, _ = train_mod.run_chunked_loop(run_one, epochs, chunk, nnz)
+    metrics, _ = train_mod.run_chunked_loop(run_one, epochs, chunk, nnz,
+                                            times_out=times_out)
     return holder["state"], metrics
 
 
@@ -566,7 +568,8 @@ def make_sharded_run_epochs_es(mesh: Mesh, cfg: GCNConfig):
 
 def run_sharded_epochs_es_chunked(mesh: Mesh, cfg: GCNConfig, state, inputs,
                                   truth_train, truth_val, *, epochs: int,
-                                  es_window: int, chunk: int | None = None):
+                                  es_window: int, chunk: int | None = None,
+                                  times_out: list | None = None):
     """make_sharded_run_epochs_es in bounded chunks via train.run_chunked_loop
     (shared sizing/probe/shrink policy; 6 adjacency passes per epoch — no
     pass-fusion, the stop decision needs epoch e's val loss first). Returns
@@ -589,7 +592,8 @@ def run_sharded_epochs_es_chunked(mesh: Mesh, cfg: GCNConfig, state, inputs,
         return [m[:, i] for i in range(4)], n_done, bool(stop_flag)
 
     metrics, stopped = train_mod.run_chunked_loop(run_one, epochs, chunk, nnz,
-                                                  passes_per_epoch=6)
+                                                  passes_per_epoch=6,
+                                                  times_out=times_out)
     return hold["state"], metrics, stopped
 
 
@@ -698,23 +702,28 @@ def run_sharded(cfg: GCNConfig, dataset: GCNDataset, mesh: Mesh | None = None,
     stopped_early = False
     if cfg.epochs > 1:
         timers.start(TMR_TRAIN)
+        epoch_times: list[float] = []  # chunk-true measured per-epoch times
         if cfg.early_stopping > 0:
             state, metrics, stopped_early = run_sharded_epochs_es_chunked(
                 mesh, cfg, state, inputs, truths[1], truths[2],
-                epochs=cfg.epochs, es_window=cfg.early_stopping)
+                epochs=cfg.epochs, es_window=cfg.early_stopping,
+                times_out=epoch_times)
         else:
             state, metrics = run_sharded_epochs_chunked(
-                mesh, cfg, state, inputs, truths[1], truths[2], epochs=cfg.epochs)
+                mesh, cfg, state, inputs, truths[1], truths[2],
+                epochs=cfg.epochs, times_out=epoch_times)
         total_time = timers.stop(TMR_TRAIN)
         epochs_run = len(metrics[0])
-        per_epoch = total_time / max(epochs_run, 1)
+        if len(epoch_times) != epochs_run:  # defensive: never drop epochs
+            epoch_times = [total_time / max(epochs_run, 1)] * epochs_run
         for epoch in range(1, epochs_run + 1):
             tl, ta, vl, va = (float(m[epoch - 1]) for m in metrics)
+            epoch_time = epoch_times[epoch - 1]
             if verbose:
                 print(f"epoch={epoch} train_loss={tl:.5f} train_acc={ta:.5f} "
-                      f"val_loss={vl:.5f} val_acc={va:.5f} time={per_epoch:.5f}")
+                      f"val_loss={vl:.5f} val_acc={va:.5f} time={epoch_time:.5f}")
             history.append(dict(epoch=epoch, train_loss=tl, train_acc=ta,
-                                val_loss=vl, val_acc=va, time=per_epoch))
+                                val_loss=vl, val_acc=va, time=epoch_time))
             loss_history.append(vl)
         if stopped_early and verbose:
             print("Early stopping...")

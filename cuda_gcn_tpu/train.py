@@ -195,7 +195,8 @@ def pick_epoch_chunk(nnz: int, epochs: int) -> int:
 
 
 def run_chunked_loop(run_one, epochs: int, chunk: int | None, nnz: int,
-                     passes_per_epoch: int = 4):
+                     passes_per_epoch: int = 4,
+                     times_out: list | None = None):
     """The shared chunk-sizing/adaptation policy for fused epoch runners.
 
     ``run_one(k)`` executes up to k fused epochs (mutating its own state) and
@@ -209,6 +210,15 @@ def run_chunked_loop(run_one, epochs: int, chunk: int | None, nnz: int,
     following ones — a single oversized device program can trip the tunneled
     worker's execution watchdog. Used by the single-chip, sharded, and
     early-stopping runners so the policy exists exactly once.
+
+    ``times_out``, when given a list, receives one MEASURED per-epoch wall
+    time per completed epoch: each chunk's timed duration spread over its
+    epochs (epochs inside one fused device program are indistinguishable by
+    design — there is no host boundary to timestamp). This keeps the printed
+    per-epoch ``time=`` values measurements in the reference's sense
+    (src/seq/gcn.cpp:139-140) rather than one run-wide constant; the first
+    chunk's epochs honestly carry their share of compile time, exactly as
+    the clock saw it.
 
     Returns (metrics [4 x np.ndarray], stopped)."""
     if epochs <= 0:  # public policy helper: callers may pass epochs=0 (ADVICE round-2)
@@ -232,6 +242,8 @@ def run_chunked_loop(run_one, epochs: int, chunk: int | None, nnz: int,
             m, n_done = out, k
         parts.append([np.asarray(v)[:n_done] for v in m])  # device sync per chunk
         dt = time.perf_counter() - t0
+        if times_out is not None and n_done:
+            times_out.extend([dt / n_done] * n_done)
         done += n_done
         n_calls += 1
         if probe and n_calls == 2:
@@ -298,7 +310,8 @@ def run_epochs_es(state: TrainState, graph: Graph, x: jnp.ndarray,
 
 def run_epochs_es_chunked(state: TrainState, graph: Graph, x, truth_train,
                           truth_val, *, epochs: int, es_window: int,
-                          chunk: int | None = None, **step_kwargs):
+                          chunk: int | None = None,
+                          times_out: list | None = None, **step_kwargs):
     """run_epochs_es in bounded chunks, sharing run_chunked_loop's full
     sizing/probe/shrink policy (6 adjacency passes per epoch here vs the
     fused loop's 4 — the cost model scales accordingly). Returns
@@ -319,12 +332,14 @@ def run_epochs_es_chunked(state: TrainState, graph: Graph, x, truth_train,
 
     metrics, stopped = run_chunked_loop(run_one, epochs, chunk,
                                         graph.total_nnz or graph.nnz,
-                                        passes_per_epoch=6)
+                                        passes_per_epoch=6,
+                                        times_out=times_out)
     return hold["state"], metrics, stopped
 
 
 def run_epochs_chunked(state: TrainState, graph: Graph, x, truth_train, truth_val, *,
-                       epochs: int, chunk: int | None = None, **step_kwargs):
+                       epochs: int, chunk: int | None = None,
+                       times_out: list | None = None, **step_kwargs):
     """run_epochs in fixed-size chunks (one compile when chunk divides epochs),
     materializing metrics between chunks. Returns (state, [4 x np.ndarray]).
     Chunk sizing/adaptation: run_chunked_loop."""
@@ -335,7 +350,8 @@ def run_epochs_chunked(state: TrainState, graph: Graph, x, truth_train, truth_va
                                         truth_val, epochs=k, **step_kwargs)
         return m
 
-    metrics, _ = run_chunked_loop(run_one, epochs, chunk, graph.total_nnz or graph.nnz)
+    metrics, _ = run_chunked_loop(run_one, epochs, chunk, graph.total_nnz or graph.nnz,
+                                  times_out=times_out)
     return holder["state"], metrics
 
 
@@ -444,23 +460,28 @@ def run(cfg: GCNConfig, dataset: GCNDataset, verbose: bool = True,
         # ON-DEVICE inside a lax.while_loop with exact reference semantics
         # (run_epochs_es); without it, the pass-fused scan (run_epochs).
         timers.start(TMR_TRAIN)
+        epoch_times: list[float] = []  # chunk-true measured per-epoch times
         if cfg.early_stopping > 0:
             state, metrics, stopped_early = run_epochs_es_chunked(
                 state, graph, x, truths[1], truths[2], epochs=cfg.epochs,
-                es_window=cfg.early_stopping, **step_kwargs)
+                es_window=cfg.early_stopping, times_out=epoch_times,
+                **step_kwargs)
         else:
             state, metrics = run_epochs_chunked(state, graph, x, truths[1], truths[2],
-                                                epochs=cfg.epochs, **step_kwargs)
+                                                epochs=cfg.epochs,
+                                                times_out=epoch_times, **step_kwargs)
         total_time = timers.stop(TMR_TRAIN)
         epochs_run = len(metrics[0])
-        per_epoch = total_time / max(epochs_run, 1)
+        if len(epoch_times) != epochs_run:  # defensive: never drop epochs
+            epoch_times = [total_time / max(epochs_run, 1)] * epochs_run
         for epoch in range(1, epochs_run + 1):
             train_loss, train_acc, val_loss, val_acc = (float(m[epoch - 1]) for m in metrics)
+            epoch_time = epoch_times[epoch - 1]
             if verbose:
                 print(f"epoch={epoch} train_loss={train_loss:.5f} train_acc={train_acc:.5f} "
-                      f"val_loss={val_loss:.5f} val_acc={val_acc:.5f} time={per_epoch:.5f}")
+                      f"val_loss={val_loss:.5f} val_acc={val_acc:.5f} time={epoch_time:.5f}")
             history.append(dict(epoch=epoch, train_loss=train_loss, train_acc=train_acc,
-                                val_loss=val_loss, val_acc=val_acc, time=per_epoch))
+                                val_loss=val_loss, val_acc=val_acc, time=epoch_time))
             loss_history.append(val_loss)
         if stopped_early and verbose:
             print("Early stopping...")
