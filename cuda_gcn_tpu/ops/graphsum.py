@@ -209,6 +209,30 @@ def _tile_contract(tiles, rows, cols, hT, t_blocks, transpose):
     return acc
 
 
+# Engine for the dense-tile contraction: 'auto' runs the Pallas pipeline
+# (ops/pallas_bsr.py) on TPU in the sorted (non-transpose) orientation and the
+# XLA einsum+segment_sum elsewhere; 'xla'/'pallas' pin a path ('pallas' off-TPU
+# runs interpret mode — tests only). Chip-measured comparison: docs/PERF.md
+# "Pallas BSR pipeline"; artifacts/exp_pallas_bsr.json.
+_TILE_ENGINE = os.environ.get("CUDA_GCN_TPU_TILE_ENGINE", "auto")
+
+
+def _dense_tile_part(tiles, rows, cols, h, n, t_blocks, transpose):
+    """Dense-tile contribution as [n, d] in h.dtype — the full layout round
+    trip shared by the single-chip bsr backend and the sharded RectGraph
+    interior, dispatching between the XLA and Pallas tile engines."""
+    if _TILE_ENGINE != "xla" and not transpose and tiles.shape[0] > 0:
+        from cuda_gcn_tpu.ops import pallas_bsr
+
+        if _TILE_ENGINE == "pallas" or pallas_bsr._on_tpu():
+            return pallas_bsr.bsr_tile_contract(tiles, rows, cols, h, n,
+                                                t_blocks)
+    d, tb = h.shape[1], int(tiles.shape[1])
+    hT = jnp.pad(h, ((0, t_blocks * tb - n), (0, 0))).T.reshape(d, t_blocks, tb)
+    outb = _tile_contract(tiles, rows, cols, hT, t_blocks, transpose)
+    return outb.transpose(1, 0, 2).reshape(d, t_blocks * tb)[:, :n].T.astype(h.dtype)
+
+
 def _bsr_apply(h, graph: Graph, transpose: bool):
     """Block-sparse path: dense MXU tiles over contiguous node blocks + COO residual.
 
@@ -224,12 +248,11 @@ def _bsr_apply(h, graph: Graph, transpose: bool):
     would occupy 8x its logical bytes (docs/PERF.md "lane padding"); keeping tb
     (a multiple of 128) as the minor dim makes every tensor dense in memory.
     """
-    n, d = graph.n_nodes, h.shape[1]
-    tb, t_blocks = graph.bsr_tb, graph.bsr_nblocks
+    n = graph.n_nodes
+    t_blocks = graph.bsr_nblocks
     rows, cols = (graph.bsr_cols, graph.bsr_rows) if transpose else (graph.bsr_rows, graph.bsr_cols)
-    hT = jnp.pad(h, ((0, t_blocks * tb - n), (0, 0))).T.reshape(d, t_blocks, tb)
-    outb = _tile_contract(graph.bsr_tiles, rows, cols, hT, t_blocks, transpose)  # [T, d, TB]
-    dense_part = outb.transpose(1, 0, 2).reshape(d, t_blocks * tb)[:, :n].T.astype(h.dtype)
+    dense_part = _dense_tile_part(graph.bsr_tiles, rows, cols, h, n, t_blocks,
+                                  transpose)
     blk = graph.blk_bwd if transpose else graph.blk_fwd
     ell = graph.ell_bwd if transpose else graph.ell_fwd
     if blk is not None:  # 2D-tiled streaming residual (large graphs)
@@ -347,13 +370,10 @@ class RectGraph:
 def _rect_tile_apply(h, rg: RectGraph, transpose: bool):
     """Dense-tile contribution for a square RectGraph (same transposed-layout
     einsum as the single-chip bsr backend, _bsr_apply)."""
-    n, d = rg.n_out, h.shape[1]
-    tb, t_blocks = rg.tb, rg.nblocks
     rows, cols = ((rg.tile_cols, rg.tile_rows) if transpose
                   else (rg.tile_rows, rg.tile_cols))
-    hT = jnp.pad(h, ((0, t_blocks * tb - n), (0, 0))).T.reshape(d, t_blocks, tb)
-    outb = _tile_contract(rg.tiles, rows, cols, hT, t_blocks, transpose)
-    return outb.transpose(1, 0, 2).reshape(d, t_blocks * tb)[:, :n].T.astype(h.dtype)
+    return _dense_tile_part(rg.tiles, rows, cols, h, rg.n_out, rg.nblocks,
+                            transpose)
 
 
 def _rect_apply(h, rg: RectGraph, transpose: bool):

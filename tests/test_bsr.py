@@ -508,3 +508,97 @@ def test_piece_arrays_compact_dtypes(clustered):
     b2 = _blocked2d_pack(rows, cols, coef, 64, target_blk=32,
                          coef_dtype=np.dtype(ml_dtypes.bfloat16))
     assert all(bk.coef.dtype == jnp.bfloat16 for bk in b2.buckets)
+
+
+# ---------------------------------------------------------------------------
+# Pallas BSR tile-contraction pipeline (ops/pallas_bsr.py) — interpret mode
+# ---------------------------------------------------------------------------
+
+def _xla_dense_part(tiles, rows, cols, h, n, t_blocks):
+    from cuda_gcn_tpu.ops.graphsum import _tile_contract
+
+    tb = tiles.shape[1]
+    d = h.shape[1]
+    hT = jnp.pad(h, ((0, t_blocks * tb - n), (0, 0))).T.reshape(d, t_blocks, tb)
+    outb = _tile_contract(tiles, rows, cols, hT, t_blocks, False)
+    return np.asarray(
+        outb.transpose(1, 0, 2).reshape(d, t_blocks * tb)[:, :n].T)
+
+
+@pytest.mark.parametrize("d", [16, 13])
+def test_pallas_bsr_matches_xla_tile_contract(d):
+    """The Pallas pipeline must reproduce the XLA tile contraction exactly in
+    f32 (same contraction + f32 accumulation), including: multi-tile block
+    rows (accumulator runs), EMPTY block rows (the aliased-zeros init), the
+    first and last block rows, and non-sublane-aligned feature widths."""
+    from cuda_gcn_tpu.ops.pallas_bsr import bsr_tile_contract
+
+    rng = np.random.default_rng(3)
+    tb, t_blocks = 128, 6
+    n = t_blocks * tb - 57
+    # rows sorted; rows 2 and 5 have no tiles; row 3 has a 3-tile run
+    rows = jnp.asarray(np.array([0, 0, 1, 3, 3, 3, 4], np.int32))
+    cols = jnp.asarray(np.array([5, 0, 1, 2, 0, 4, 3], np.int32))
+    tiles = jnp.asarray(rng.standard_normal((7, tb, tb)).astype(np.float32))
+    h = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+
+    ref = _xla_dense_part(tiles, rows, cols, h, n, t_blocks)
+    got = np.asarray(bsr_tile_contract(tiles, rows, cols, h, n, t_blocks,
+                                       interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-5)
+    # empty block rows really are zero (rows 2, 5 -> node range [2*tb, 3*tb))
+    assert np.all(got[2 * tb:3 * tb] == 0.0)
+
+
+def test_pallas_bsr_bf16_tiles_single_tile():
+    """bf16 tile storage (the production default) upcasts in-kernel; K=1 and
+    an all-rows-distinct tile list exercise the flush-every-step path."""
+    from cuda_gcn_tpu.ops.pallas_bsr import bsr_tile_contract
+
+    rng = np.random.default_rng(4)
+    tb, t_blocks = 128, 3
+    n = t_blocks * tb
+    rows = jnp.asarray(np.array([0, 1, 2], np.int32))
+    cols = jnp.asarray(np.array([2, 0, 1], np.int32))
+    tiles = jnp.asarray(rng.standard_normal((3, tb, tb)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+    h = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
+
+    ref = _xla_dense_part(tiles, rows, cols, h, n, t_blocks)
+    got = np.asarray(bsr_tile_contract(tiles, rows, cols, h, n, t_blocks,
+                                       interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-5)
+
+    got1 = np.asarray(bsr_tile_contract(tiles[:1], rows[:1], cols[:1], h, n,
+                                        t_blocks, interpret=True))
+    ref1 = _xla_dense_part(tiles[:1], rows[:1], cols[:1], h, n, t_blocks)
+    np.testing.assert_allclose(got1, ref1, rtol=1e-6, atol=1e-5)
+
+
+def test_tile_engine_dispatch(clustered, monkeypatch):
+    """_TILE_ENGINE: 'auto' must stay on the XLA path off-TPU; 'pallas' forces
+    the Pallas pipeline (interpret mode here) and the full graphsum output must
+    match the XLA-engine output — the end-to-end integration check."""
+    import importlib
+
+    gs = importlib.import_module("cuda_gcn_tpu.ops.graphsum")
+    from cuda_gcn_tpu.ops import pallas_bsr
+
+    ds, h = clustered
+    graph = bsr_graph(ds.graph)
+    assert graph.backend == "bsr" and graph.bsr_tiles.shape[0] > 0
+    hj = jnp.asarray(h)
+
+    calls = []
+    real = pallas_bsr.bsr_tile_contract
+    monkeypatch.setattr(pallas_bsr, "bsr_tile_contract",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+
+    monkeypatch.setattr(gs, "_TILE_ENGINE", "auto")
+    ref = np.asarray(graphsum(hj, graph))
+    assert not calls, "auto engine must not run Pallas off-TPU"
+
+    monkeypatch.setattr(gs, "_TILE_ENGINE", "pallas")
+    got = np.asarray(graphsum(hj, graph))
+    assert calls, "pallas engine must dispatch to the kernel"
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-5)
