@@ -1,0 +1,232 @@
+"""Cross-binary golden-activation parity vs the compiled reference (gcn-seq).
+
+SURVEY §4 item 2 / VERDICT round-3 next-item #6: accuracy-level parity
+(scripts/parity_vs_reference.py) can hide a shared misreading between our
+framework and the from-spec numpy oracle — this script closes the loop against
+the REFERENCE BINARY itself. It builds a scratch copy of /root/reference with
+two additions that are OUR code (nothing is copied out of the reference):
+
+* a one-line access patch to ``src/seq/gcn.h`` (``class GCN {`` gains a
+  ``public:``) so a driver can reach the module/variable lists;
+* ``src/golden_main.cpp`` — a driver that parses a dataset through the
+  reference's own Parser, constructs the reference GCN, OVERWRITES both glorot
+  weights from files (sidestepping the time(NULL) seed, src/seq/rand.cpp:7),
+  runs ONE eval-mode forward module by module (dropout inert,
+  src/seq/module.cpp:207-208), and dumps every intermediate activation as raw
+  little-endian f32 BEFORE the loss module mutates the logits in place
+  (module.cpp:139-141).
+
+Our side recomputes the same stages with the framework's production ops
+(csr_matmul / graphsum / dense_matmul / masked_cross_entropy) on the same
+weights and asserts per-stage allclose. Stages (reference module order,
+src/seq/gcn.cpp:20-59):
+
+  xw     = X · W1          (SparseMatmul, module.cpp:47-61)
+  g1     = Â · xw          (GraphSum, module.cpp:83-101)
+  relu   = max(g1, 0)      (ReLU, module.cpp:175-185)
+  hw     = relu · W2       (Matmul, module.cpp:11-22)
+  logits = Â · hw          (GraphSum)
+  loss   = masked CE, test split (CrossEntropyLoss, module.cpp:124-161)
+
+Writes artifacts/golden_activations.json. Run (CPU, seconds):
+  python scripts/golden_activations.py [--dataset synth-cora]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GOLDEN_MAIN = r"""
+// Golden-activation driver — cuda_gcn_tpu's own code (see
+// scripts/golden_activations.py). Drives the reference engine with
+// deterministic file-fed weights and dumps eval-mode activations.
+#include <cstdio>
+#include <string>
+#include <vector>
+#include "gcn.h"
+#include "parser.h"
+
+static bool load_f32(const std::string &path, std::vector<float> &v) {
+    FILE *f = fopen(path.c_str(), "rb");
+    if (!f) return false;
+    size_t got = fread(v.data(), sizeof(float), v.size(), f);
+    fclose(f);
+    return got == v.size();
+}
+
+static void dump_f32(const std::string &dir, const char *name,
+                     const std::vector<float> &v) {
+    FILE *f = fopen((dir + "/" + name + ".bin").c_str(), "wb");
+    fwrite(v.data(), sizeof(float), v.size(), f);
+    fclose(f);
+}
+
+int main(int argc, char **argv) {
+    if (argc != 4) {
+        fprintf(stderr, "usage: golden_gcn graph_name weights_dir out_dir\n");
+        return 2;
+    }
+    std::string name(argv[1]), wdir(argv[2]), odir(argv[3]);
+    GCNParams params = GCNParams::get_default();
+    GCNData data;
+    Parser parser(&params, &data, name);
+    if (!parser.parse()) { fprintf(stderr, "cannot read input\n"); return 1; }
+
+    GCN gcn(params, &data);  // glorot runs (time-seeded); overwritten below
+    if (!load_f32(wdir + "/w1.bin", gcn.variables[2].data) ||
+        !load_f32(wdir + "/w2.bin", gcn.variables[5].data)) {
+        fprintf(stderr, "cannot read weights\n"); return 1;
+    }
+
+    gcn.set_input();
+    gcn.set_truth(3);  // test-split loss
+    // module order: dropout, spmm, graphsum, relu, dropout, matmul,
+    // graphsum, loss (gcn.cpp:20-59); variables: 0 input, 1 xw, 2 W1,
+    // 3 g1 (relu/dropout in place), 4 hw, 5 W2, 6 logits
+    for (int i = 0; i < (int)gcn.modules.size(); i++) {
+        gcn.modules[i]->forward(false);
+        if (i == 1) dump_f32(odir, "xw", gcn.variables[1].data);
+        if (i == 2) dump_f32(odir, "g1", gcn.variables[3].data);
+        if (i == 3) dump_f32(odir, "relu", gcn.variables[3].data);
+        if (i == 5) dump_f32(odir, "hw", gcn.variables[4].data);
+        if (i == 6) dump_f32(odir, "logits", gcn.variables[6].data);
+    }
+    std::vector<float> lv(1, gcn.loss);
+    dump_f32(odir, "loss", lv);
+    printf("golden ok n=%d in=%d hid=%d out=%d\n", params.num_nodes,
+           params.input_dim, params.hidden_dim, params.output_dim);
+    return 0;
+}
+"""
+
+
+def build_golden(ref_dir: str, work: str) -> str:
+    """Scratch-copy the reference, patch GCN member access, add our driver,
+    build. Returns the golden binary path."""
+    src = os.path.join(work, "refbuild")
+    shutil.copytree(ref_dir, src)
+    gcn_h = os.path.join(src, "src", "seq", "gcn.h")
+    with open(gcn_h) as f:
+        text = f.read()
+    assert "class GCN {" in text
+    with open(gcn_h, "w") as f:
+        f.write(text.replace("class GCN {", "class GCN { public:"))
+    with open(os.path.join(src, "src", "golden_main.cpp"), "w") as f:
+        f.write(GOLDEN_MAIN)
+    subprocess.run(["make", "seq"], cwd=src, check=True, capture_output=True)
+    objs = [f"src/common/{o}.o" for o in ("parser", "timer")] + [
+        f"src/seq/{o}.o" for o in ("gcn", "module", "optim", "rand",
+                                   "sparse", "variable")]
+    subprocess.run(["g++", "-O3", "-std=c++11", "-Isrc", "-Isrc/common",
+                    "-Isrc/seq", "src/golden_main.cpp", *objs,
+                    "-o", "golden_gcn"], cwd=src, check=True,
+                   capture_output=True)
+    return os.path.join(src, "golden_gcn")
+
+
+def run_golden(dataset: str = "synth-cora", reference: str = "/root/reference",
+               out_json: str | None = "artifacts/golden_activations.json",
+               seed: int = 7) -> dict:
+    import numpy as np
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from cuda_gcn_tpu.data.graph import build_graph
+    from cuda_gcn_tpu.data.parser import load_dataset
+    from cuda_gcn_tpu.data.synthetic import make_synthetic, write_dataset
+    from cuda_gcn_tpu.models.gcn import glorot
+    from cuda_gcn_tpu.ops.graphsum import graphsum
+    from cuda_gcn_tpu.ops.loss import masked_cross_entropy
+    from cuda_gcn_tpu.ops.matmul import csr_matmul, dense_matmul
+    from cuda_gcn_tpu.train import make_truth
+
+    name = dataset.removeprefix("synth-")
+    with tempfile.TemporaryDirectory() as work:
+        data_dir = os.path.join(work, "data")
+        ds_synth = make_synthetic(dataset, seed=0)
+        write_dataset(ds_synth, data_dir, name)
+        binary = build_golden(reference, work)
+
+        # the framework's own loader on the same files
+        ds = load_dataset(name, data_dir=data_dir)
+
+        hidden = 16
+        fan_in = ds.input_dim
+        n_cls = ds.output_dim
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        w1 = np.asarray(glorot(k1, fan_in, hidden))
+        w2 = np.asarray(glorot(k2, hidden, n_cls))
+        wdir = os.path.join(work, "weights")
+        odir = os.path.join(work, "golden")
+        os.makedirs(wdir), os.makedirs(odir)
+        w1.astype("<f4").tofile(os.path.join(wdir, "w1.bin"))
+        w2.astype("<f4").tofile(os.path.join(wdir, "w2.bin"))
+
+        r = subprocess.run([binary, name, wdir, odir], cwd=work, check=True,
+                           capture_output=True, text=True, timeout=600)
+        print(r.stdout.strip(), file=sys.stderr)
+
+        n = ds.num_nodes
+        ref = {nm: np.fromfile(os.path.join(odir, f"{nm}.bin"), "<f4")
+               for nm in ("xw", "g1", "relu", "hw", "logits", "loss")}
+
+        # our stages, framework production ops (NOT the numpy oracle)
+        graph = build_graph(ds.graph, backend="segment")
+        frows = np.repeat(np.arange(n, dtype=np.int32),
+                          np.diff(ds.feature_index.indptr))
+        xw = csr_matmul(jnp.asarray(ds.feature_value), jnp.asarray(frows),
+                        jnp.asarray(ds.feature_index.indices.astype(np.int32)),
+                        jnp.asarray(w1), n)
+        g1 = graphsum(xw, graph)
+        relu = jnp.maximum(g1, 0.0)
+        hw = dense_matmul(relu, jnp.asarray(w2))
+        logits = graphsum(hw, graph)
+        truth = make_truth(ds.split, ds.label, 3)
+        loss = masked_cross_entropy(logits, truth)
+        ours = {"xw": xw, "g1": g1, "relu": relu, "hw": hw, "logits": logits,
+                "loss": jnp.reshape(loss, (1,))}
+
+        out = {"dataset": dataset, "n_nodes": int(n), "stages": {}}
+        ok = True
+        for nm in ("xw", "g1", "relu", "hw", "logits", "loss"):
+            a = np.asarray(ours[nm], np.float32).ravel()
+            b = ref[nm]
+            assert a.shape == b.shape, (nm, a.shape, b.shape)
+            scale = float(np.max(np.abs(b))) + 1e-12
+            rel = float(np.max(np.abs(a - b))) / scale
+            stage_ok = rel <= 2e-5  # f32 reduction-order drift only
+            ok = ok and stage_ok
+            out["stages"][nm] = {"max_rel_err": rel, "ok": bool(stage_ok)}
+            print(f"{nm:7s} max|diff|/max|ref| = {rel:.3e} "
+                  f"{'ok' if stage_ok else 'FAIL'}", file=sys.stderr)
+        out["verdict"] = "ok" if ok else "FAIL"
+        if out_json:
+            os.makedirs(os.path.dirname(out_json), exist_ok=True)
+            with open(out_json, "w") as f:
+                json.dump(out, f, indent=1)
+            print(f"wrote {out_json}: {out['verdict']}", file=sys.stderr)
+        return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="synth-cora")
+    ap.add_argument("--reference", default="/root/reference")
+    args = ap.parse_args()
+    out = run_golden(args.dataset, args.reference)
+    return 0 if out["verdict"] == "ok" else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
