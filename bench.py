@@ -38,14 +38,14 @@ def log(msg: str) -> None:
 
 def load_bench_dataset(name: str, data_dir: str):
     from cuda_gcn_tpu.data.parser import load_dataset
-    from cuda_gcn_tpu.data.synthetic import PROFILES, make_synthetic
+    from cuda_gcn_tpu.data.synthetic import PROFILES, VARIANTS, make_synthetic
 
     real_name = name.removeprefix("synth-")
     if os.path.exists(os.path.join(data_dir, f"{real_name}.graph")):
         log(f"using real dataset {real_name} from {data_dir}/")
         return load_dataset(real_name, data_dir=data_dir), real_name
     synth = f"synth-{real_name}"
-    if synth not in PROFILES:
+    if synth not in PROFILES and synth not in VARIANTS:
         raise SystemExit(f"no such dataset or profile: {name}")
     cache = os.path.join(CACHE_DIR, f"{synth}.npz")
     if os.path.exists(cache):

@@ -60,7 +60,23 @@ class SynthSpec:
     label_noise: float = 0.0   # fraction of labels flipped to a random class
 
 
+# Named variants: (base profile, spec overrides). 'slope' is the
+# discriminative-parity variant of the flagship profile — the standard
+# synth-reddit converges AT its 15% label-noise ceiling (test acc
+# 0.85438 ≈ 0.85 + 0.15/41, docs/PERF.md parity table), where parity is
+# insensitive to implementation error; this variant weakens the feature
+# signal and lowers label noise so the converged accuracy sits strictly
+# BELOW the attainable ceiling and the parity diff carries signal.
+VARIANTS = {
+    "synth-reddit-slope": ("synth-reddit", dict(
+        label_noise=0.05, feat_band_p=0.28, feat_noise=1.3)),
+}
+
+
 def spec_for(name: str, **overrides) -> SynthSpec:
+    if name in VARIANTS:
+        base, var = VARIANTS[name]
+        return spec_for(base, **{**var, **overrides})
     n, e, c, f = PROFILES[name]
     spec = SynthSpec(num_nodes=n, num_edges=e, num_classes=c, input_dim=f)
     # scale the split sizes for big graphs (reddit-style: most nodes labeled)

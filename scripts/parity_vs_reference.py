@@ -82,12 +82,13 @@ def main() -> int:
                     help="force JAX platform for our run (accuracy is platform-independent)")
     args = ap.parse_args()
 
-    from cuda_gcn_tpu.data.synthetic import PROFILES, make_synthetic, write_dataset
+    from cuda_gcn_tpu.data.synthetic import (PROFILES, VARIANTS,
+                                             make_synthetic, write_dataset)
 
     with tempfile.TemporaryDirectory() as work:
         data_dir = os.path.join(work, "data")
         name = args.dataset.removeprefix("synth-")
-        if args.dataset in PROFILES:
+        if args.dataset in PROFILES or args.dataset in VARIANTS:
             ds = make_synthetic(args.dataset, seed=0)
             print(f"writing {args.dataset} to {data_dir} ...", file=sys.stderr)
             write_dataset(ds, data_dir, name)

@@ -69,3 +69,22 @@ def test_dense_features(tiny_dataset):
     for k, v in zip(tiny_dataset.feature_index.indices[lo:hi], tiny_dataset.feature_value[lo:hi]):
         assert x[i, k] == pytest.approx(v)
     assert np.count_nonzero(x) == tiny_dataset.feature_index.nnz
+
+
+def test_variant_profile_resolves():
+    """synth-reddit-slope (the discriminative-parity variant) must resolve to
+    the reddit dims with its overrides applied — and stay out of PROFILES so
+    size-scaled code paths (bench caches, scaling scripts) don't pick it up
+    implicitly."""
+    from cuda_gcn_tpu.data.synthetic import PROFILES, VARIANTS, spec_for
+
+    assert "synth-reddit-slope" in VARIANTS
+    assert "synth-reddit-slope" not in PROFILES
+    s = spec_for("synth-reddit-slope")
+    base = spec_for("synth-reddit")
+    assert (s.num_nodes, s.num_edges, s.num_classes, s.input_dim) == (
+        base.num_nodes, base.num_edges, base.num_classes, base.input_dim)
+    assert s.label_noise == 0.05 and s.label_noise < base.label_noise
+    assert s.feat_noise > base.feat_noise
+    # explicit overrides still win over the variant's
+    assert spec_for("synth-reddit-slope", label_noise=0.2).label_noise == 0.2
