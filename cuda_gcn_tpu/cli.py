@@ -68,6 +68,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--timing", action="store_true",
                    help="print the phase-timer averages after the run "
                         "(the reference's PRINT_TIMER_AVERAGE, src/common/timer.h:26)")
+    p.add_argument("--prime-cache", action="store_true",
+                   help="AOT-compile this run's device programs into the "
+                        "persistent compile cache and exit without training "
+                        "(train.prime_cache; pays the cold-compile cost "
+                        "explicitly so the next run starts warm)")
     for name in _POSITIONAL:
         typ = float if name in _FLOAT_FIELDS else int
         p.add_argument(f"--{name.replace('_', '-')}", type=typ, default=None)
@@ -106,9 +111,9 @@ def main(argv: list[str] | None = None) -> int:
 
     cfg = config_from_args(args)
 
-    from cuda_gcn_tpu.data.synthetic import PROFILES, make_synthetic
+    from cuda_gcn_tpu.data.synthetic import PROFILES, VARIANTS, make_synthetic
 
-    if args.graph_name in PROFILES:
+    if args.graph_name in PROFILES or args.graph_name in VARIANTS:
         dataset = make_synthetic(args.graph_name, seed=cfg.seed)
         print(f"Generated synthetic dataset {args.graph_name}.")
     else:
@@ -140,6 +145,16 @@ def main(argv: list[str] | None = None) -> int:
     print(f"RUNNING ON {platform}")
 
     from cuda_gcn_tpu import train as train_mod
+
+    if args.prime_cache:
+        if args.mesh:
+            print("--prime-cache is single-chip (the sharded path compiles "
+                  "per-mesh programs)", file=sys.stderr)
+            return 1
+        programs = train_mod.prime_cache(cfg, dataset)
+        total = sum(s for _, _, s in programs)
+        print(f"primed {len(programs)} programs in {total:.1f}s")
+        return 0
 
     initial_state = None
     if args.load_checkpoint:

@@ -436,6 +436,62 @@ def prepare(cfg: GCNConfig, dataset: GCNDataset):
     return cfg, graph, x, truths
 
 
+def prime_cache(cfg: GCNConfig, dataset: GCNDataset, verbose: bool = True):
+    """AOT-compile the device programs ``run(cfg, dataset)`` would execute,
+    WITHOUT running them — the cold-compile cost (183-249 s for the reddit
+    bench vs its 28 s runtime, docs/PERF.md "Compile time") is paid once,
+    explicitly, and lands in the persistent XLA cache so the subsequent run
+    is warm. The reference never pays a runtime compile (C++ is AOT); this is
+    the TPU-native equivalent of that guarantee for latency-sensitive runs.
+
+    Compiles the fused-epoch program at every chunk size the sizing policy
+    (run_chunked_loop) can request up front — the balanced chunk, its tail,
+    and the 1-epoch probe programs on probe-scale graphs. Adaptive SHRINK
+    sizes (after a mid-run watchdog trip) are measurement-dependent and stay
+    cold. Returns [(program, epochs_per_program, seconds)].
+    """
+    cfg, graph, x, truths = prepare(cfg, dataset)
+    state = create_state(cfg)
+    nnz = graph.total_nnz or graph.nnz
+    kw = dict(dropout_rate=cfg.dropout, weight_decay=cfg.weight_decay,
+              lr=cfg.learning_rate)
+    es = cfg.early_stopping > 0
+    sizes: list[int] = []
+    if cfg.epochs > 1:
+        est = _estimate_epoch_seconds(nnz) * (6 if es else 4) / 4
+        if est > _PROBE_ABOVE_EST_SECONDS:
+            sizes.append(1)  # the two probe programs (sizing policy)
+        chunk = _balance_chunks(cfg.epochs, int(TARGET_PROGRAM_SECONDS / est))
+        sizes.append(chunk)
+        done = chunk * (-(-cfg.epochs // chunk) - 1)
+        tail = cfg.epochs - done
+        if tail and tail not in sizes:
+            sizes.append(tail)
+    out = []
+    for k in sizes:
+        t0 = time.perf_counter()
+        if es:
+            ring = jnp.full((cfg.early_stopping,), jnp.inf, jnp.float32)
+            run_epochs_es.lower(state, graph, x, truths[1], truths[2], ring,
+                                jnp.int32(0), epochs=k,
+                                es_window=cfg.early_stopping, **kw).compile()
+            name = "run_epochs_es"
+        else:
+            run_epochs.lower(state, graph, x, truths[1], truths[2],
+                             epochs=k, **kw).compile()
+            name = "run_epochs"
+        out.append((name, k, time.perf_counter() - t0))
+        if verbose:
+            print(f"primed {name}[epochs={k}] in {out[-1][2]:.1f}s")
+    t0 = time.perf_counter()
+    eval_step.lower(state.params, graph, x, truths[3],
+                    weight_decay=cfg.weight_decay).compile()
+    out.append(("eval_step", 1, time.perf_counter() - t0))
+    if verbose:
+        print(f"primed eval_step in {out[-1][2]:.1f}s")
+    return out
+
+
 def run(cfg: GCNConfig, dataset: GCNDataset, verbose: bool = True,
         initial_state: TrainState | None = None, time_ops: bool = False) -> RunResult:
     """Full training run with the reference's epoch loop and output contract.

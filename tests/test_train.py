@@ -319,3 +319,27 @@ def test_run_chunked_loop_times_out(monkeypatch):
     # chunk-true values, not one run-wide constant
     np.testing.assert_allclose(times, [3.0, 3.0, 1.0, 1.0, 1.0, 1.0])
     assert abs(sum(times) - clock["t"]) < 1e-9
+
+
+def test_prime_cache_compiles_run_programs(tiny_dataset):
+    """prime_cache must AOT-compile the same program set run() executes —
+    fused loop (ES and fused variants) + final eval — and return its timing
+    rows without training anything (VERDICT round-3 next-item #9)."""
+    from cuda_gcn_tpu import train as train_mod
+    from cuda_gcn_tpu.config import GCNConfig
+
+    cfg = GCNConfig(epochs=4, seed=0)
+    rows = train_mod.prime_cache(cfg, tiny_dataset, verbose=False)
+    names = [r[0] for r in rows]
+    assert names == ["run_epochs", "eval_step"]
+    assert rows[0][1] == 4  # cora-scale: one balanced chunk of all epochs
+
+    cfg_es = GCNConfig(epochs=4, early_stopping=3, seed=0)
+    rows = train_mod.prime_cache(cfg_es, tiny_dataset, verbose=False)
+    assert [r[0] for r in rows] == ["run_epochs_es", "eval_step"]
+
+    # epochs=1: no fused loop runs (run() trains via the trailing path), so
+    # only the eval program is primed
+    rows = train_mod.prime_cache(GCNConfig(epochs=1, seed=0), tiny_dataset,
+                                 verbose=False)
+    assert [r[0] for r in rows] == ["eval_step"]
