@@ -86,6 +86,62 @@ def _bsr_kernel(rows_ref, cols_ref, tiles_ref, hb_ref, out0_ref, out_ref,
         out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
+# VMEM budget for the resident-activations kernel variant: the whole
+# [T, dp, tb] activation table lives in VMEM and each grid step dynamic-slices
+# its column block in place of a per-step HBM block fetch (the per-step DMA
+# chain is what holds the blocked variant ~2.5x off the tile-stream floor —
+# artifacts/exp_pallas_bsr.json). v5e VMEM is 128 MB; leave room for the
+# double-buffered tile blocks + accumulator.
+_RESIDENT_H_BUDGET_BYTES = 96 * 1024 * 1024
+
+
+def _bsr_kernel_resident(rows_ref, cols_ref, tiles_ref, hb_ref, out0_ref,
+                         out_ref, acc_ref):
+    del out0_ref
+    k = pl.program_id(0)
+    nk = pl.num_programs(0)
+    row = rows_ref[k]
+    prev = rows_ref[jnp.maximum(k - 1, 0)]
+    nxt = rows_ref[jnp.minimum(k + 1, nk - 1)]
+
+    @pl.when((k == 0) | (row != prev))
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    hb = hb_ref[cols_ref[k]]                  # [dp, tb] dynamic VMEM slice
+    tile = tiles_ref[0].astype(hb.dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        hb, tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when((k == nk - 1) | (row != nxt))
+    def _flush():
+        out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bsr_pallas_call_resident(rows, cols, tiles, hb, out0, *, interpret: bool):
+    k, tb, _ = tiles.shape
+    t_blocks, dp, _ = hb.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(k,),
+        in_specs=[
+            pl.BlockSpec((1, tb, tb), lambda i, rows, cols: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole table resident
+            pl.BlockSpec((1, dp, tb), lambda i, rows, cols: (rows[i], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, dp, tb), lambda i, rows, cols: (rows[i], 0, 0)),
+        scratch_shapes=[pltpu.VMEM((dp, tb), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _bsr_kernel_resident,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_blocks, dp, tb), jnp.float32),
+        input_output_aliases={4: 0},
+        interpret=interpret,
+    )(rows, cols, tiles, hb, out0)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _bsr_pallas_call(rows, cols, tiles, hb, out0, *, interpret: bool):
     k, tb, _ = tiles.shape
@@ -113,7 +169,8 @@ def _bsr_pallas_call(rows, cols, tiles, hb, out0, *, interpret: bool):
 
 
 def bsr_tile_contract(tiles, rows, cols, h, n: int, t_blocks: int,
-                      *, interpret: bool | None = None):
+                      *, interpret: bool | None = None,
+                      variant: str = "auto"):
     """Pallas tile contraction: returns the dense-part [n, d] in h.dtype.
 
     ``tiles`` [K, tb, tb] (any dtype; upcast to h.dtype in-kernel), ``rows``
@@ -132,6 +189,12 @@ def bsr_tile_contract(tiles, rows, cols, h, n: int, t_blocks: int,
     hp = jnp.pad(h, ((0, t_blocks * tb - n), (0, dp - d)))
     hb = hp.reshape(t_blocks, tb, dp).transpose(0, 2, 1)  # [T, dp, tb]
     out0 = jnp.zeros((t_blocks, dp, tb), jnp.float32)
-    outb = _bsr_pallas_call(rows, cols, tiles, hb, out0, interpret=interpret)
+    if variant == "auto":
+        resident = (t_blocks * dp * tb * hb.dtype.itemsize
+                    <= _RESIDENT_H_BUDGET_BYTES)
+    else:
+        resident = variant == "resident"
+    call = _bsr_pallas_call_resident if resident else _bsr_pallas_call
+    outb = call(rows, cols, tiles, hb, out0, interpret=interpret)
     dense = outb.transpose(1, 0, 2).reshape(dp, t_blocks * tb)
     return dense[:d, :n].T.astype(h.dtype)

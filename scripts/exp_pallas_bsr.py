@@ -62,7 +62,12 @@ def main():
         return outb.transpose(1, 0, 2).reshape(d, t_blocks * tb)[:, :n].T.astype(h.dtype)
 
     def pallas_dense_part(tiles, rows, cols, h):
-        return pallas_bsr.bsr_tile_contract(tiles, rows, cols, h, n, t_blocks)
+        return pallas_bsr.bsr_tile_contract(tiles, rows, cols, h, n, t_blocks,
+                                            variant="resident")
+
+    def pallas_blk_dense_part(tiles, rows, cols, h):
+        return pallas_bsr.bsr_tile_contract(tiles, rows, cols, h, n, t_blocks,
+                                            variant="blocked")
 
     def rep_loop(fn):
         def run(tiles, rows, cols, h0):
@@ -76,7 +81,7 @@ def main():
 
     gargs = (graph.bsr_tiles, graph.bsr_rows, graph.bsr_cols)
     key = jax.random.PRNGKey(0)
-    for d in (16, 41):
+    for d in (16, 32, 41, 82):
         h = jax.random.normal(key, (n, d), jnp.float32)
 
         # correctness on-chip
@@ -86,7 +91,9 @@ def main():
         print(f"d={d}: on-chip rel err pallas vs xla = {rel:.3e}", flush=True)
 
         res = {"rel_err": rel}
-        for label, fn in (("xla", xla_dense_part), ("pallas", pallas_dense_part)):
+        for label, fn in (("xla", xla_dense_part),
+                          ("pallas", pallas_dense_part),
+                          ("pallas_blk", pallas_blk_dense_part)):
             run = rep_loop(fn)
             t0 = time.perf_counter()
             float(run(*gargs, h))  # compile + first run

@@ -602,3 +602,26 @@ def test_tile_engine_dispatch(clustered, monkeypatch):
     got = np.asarray(graphsum(hj, graph))
     assert calls, "pallas engine must dispatch to the kernel"
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-5)
+
+
+def test_pallas_bsr_blocked_variant_matches(monkeypatch):
+    """The blocked (streamed-activations) variant must match the resident one
+    — it is the fallback when the table exceeds the VMEM budget."""
+    from cuda_gcn_tpu.ops import pallas_bsr
+
+    rng = np.random.default_rng(5)
+    tb, t_blocks = 128, 4
+    n = t_blocks * tb - 9
+    rows = jnp.asarray(np.array([0, 1, 1, 3], np.int32))
+    cols = jnp.asarray(np.array([3, 2, 0, 1], np.int32))
+    tiles = jnp.asarray(rng.standard_normal((4, tb, tb)).astype(np.float32))
+    h = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
+
+    resident = np.asarray(pallas_bsr.bsr_tile_contract(
+        tiles, rows, cols, h, n, t_blocks, interpret=True))
+    monkeypatch.setattr(pallas_bsr, "_RESIDENT_H_BUDGET_BYTES", 0)
+    blocked = np.asarray(pallas_bsr.bsr_tile_contract(
+        tiles, rows, cols, h, n, t_blocks, interpret=True))
+    np.testing.assert_allclose(blocked, resident, rtol=1e-6, atol=1e-6)
+    ref = _xla_dense_part(tiles, rows, cols, h, n, t_blocks)
+    np.testing.assert_allclose(blocked, ref, rtol=1e-6, atol=1e-5)
