@@ -109,6 +109,44 @@ def main() -> int:
                     help="persistent XLA compile-cache dir ('' disables)")
     args = ap.parse_args()
 
+    # Driver contract: ONE JSON line on stdout, even when an engine/backend
+    # regresses (VERDICT r4 #6 — the round-4 tile-engine default crashed the
+    # compile and zeroed the round). First failure retries once on the
+    # known-good XLA tile engine; a second failure still emits the line, with
+    # the error in detail.
+    fallback_reason = None
+    try:
+        result = run_bench(args)
+    except Exception as e:
+        import traceback
+
+        from cuda_gcn_tpu.ops import graphsum
+
+        log(traceback.format_exc())
+        fallback_reason = f"{type(e).__name__}: {e}"[:400]
+        if graphsum._TILE_ENGINE != "xla":
+            log("bench failed; retrying once with CUDA_GCN_TPU_TILE_ENGINE=xla")
+            graphsum._TILE_ENGINE = "xla"
+            try:
+                result = run_bench(args)
+            except Exception as e2:
+                log(traceback.format_exc())
+                result = _error_result(args, f"{type(e2).__name__}: {e2}"[:400])
+        else:
+            result = _error_result(args, fallback_reason)
+    if fallback_reason is not None:
+        result.setdefault("detail", {})["fallback_reason"] = fallback_reason
+    print(json.dumps(result))
+    return 0
+
+
+def _error_result(args, err: str) -> dict:
+    return {"metric": f"{args.dataset}_{args.epochs}ep_train_time",
+            "value": None, "unit": "s", "vs_baseline": None,
+            "detail": {"error": err}}
+
+
+def run_bench(args) -> dict:
     from cuda_gcn_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache(args.compilation_cache)
@@ -195,13 +233,20 @@ def main() -> int:
 
     base = BASELINE_CUDA_S.get(name.removeprefix("synth-"))
     vs = base / train_s if base else float("nan")
-    print(json.dumps({
+    from cuda_gcn_tpu.ops.graphsum import _TILE_ENGINE, resolved_tile_engine
+
+    engines = resolved_tile_engine(
+        graph, {2 * cfg.hidden_dim, 2 * cfg.output_dim, cfg.hidden_dim,
+                cfg.output_dim}, dtype=cfg.compute_dtype)
+    return {
         "metric": f"{name}_{args.epochs}ep_train_time",
         "value": round(train_s, 5),
         "unit": "s",
         "vs_baseline": round(vs, 3) if np.isfinite(vs) else None,
         "detail": {
             "backend": graph.backend,
+            "tile_engine": {"setting": _TILE_ENGINE,
+                            "per_width": {str(k): v for k, v in sorted(engines.items())}},
             "feature_matmul": cfg.feature_matmul,
             "compile_s": round(compile_s, 2),
             "ms_per_epoch": round(train_s / args.epochs * 1000, 3),
@@ -218,8 +263,7 @@ def main() -> int:
             "baseline_cuda_s": base,
             "device": str(jax.devices()[0]),
         },
-    }))
-    return 0
+    }
 
 
 if __name__ == "__main__":

@@ -209,12 +209,16 @@ def _tile_contract(tiles, rows, cols, hT, t_blocks, transpose):
     return acc
 
 
-# Engine for the dense-tile contraction: 'auto' runs the Pallas pipeline
-# (ops/pallas_bsr.py) on TPU in the sorted (non-transpose) orientation and the
-# XLA einsum+segment_sum elsewhere; 'xla'/'pallas' pin a path ('pallas' off-TPU
-# runs interpret mode — tests only). Chip-measured comparison: docs/PERF.md
-# "Pallas BSR pipeline"; artifacts/exp_pallas_bsr.json.
-_TILE_ENGINE = os.environ.get("CUDA_GCN_TPU_TILE_ENGINE", "auto")
+# Engine for the dense-tile contraction, in the sorted (non-transpose)
+# orientation: 'xla' (the default — the chip probe measured the XLA
+# einsum+segment_sum ahead of both Pallas variants end-to-end, docs/PERF.md
+# "Pallas BSR pipeline"; artifacts/exp_pallas_bsr.json), 'auto' (the Pallas
+# pipeline on TPU, variant chosen by gate math and VERIFIED by an AOT compile
+# with fallback blocked -> XLA — a Mosaic rejection at flagship dims degrades
+# to the XLA path instead of killing the run, VERDICT r4 #1), or a pinned
+# 'pallas'/'resident'/'blocked' (off-TPU these run interpret mode — tests and
+# probes only).
+_TILE_ENGINE = os.environ.get("CUDA_GCN_TPU_TILE_ENGINE", "xla")
 
 
 def _dense_tile_part(tiles, rows, cols, h, n, t_blocks, transpose):
@@ -224,13 +228,45 @@ def _dense_tile_part(tiles, rows, cols, h, n, t_blocks, transpose):
     if _TILE_ENGINE != "xla" and not transpose and tiles.shape[0] > 0:
         from cuda_gcn_tpu.ops import pallas_bsr
 
-        if _TILE_ENGINE == "pallas" or pallas_bsr._on_tpu():
+        if _TILE_ENGINE in ("pallas", "resident", "blocked"):
+            variant = "auto" if _TILE_ENGINE == "pallas" else _TILE_ENGINE
             return pallas_bsr.bsr_tile_contract(tiles, rows, cols, h, n,
-                                                t_blocks)
+                                                t_blocks, variant=variant)
+        if pallas_bsr._on_tpu():  # 'auto': AOT-verified choice, 'xla' on reject
+            k, tb = int(tiles.shape[0]), int(tiles.shape[1])
+            variant = pallas_bsr.verified_variant(
+                k, tb, t_blocks, pallas_bsr.padded_width(h.shape[1]),
+                h.dtype, tiles.dtype)
+            if variant != "xla":
+                return pallas_bsr.bsr_tile_contract(tiles, rows, cols, h, n,
+                                                    t_blocks, variant=variant)
     d, tb = h.shape[1], int(tiles.shape[1])
     hT = jnp.pad(h, ((0, t_blocks * tb - n), (0, 0))).T.reshape(d, t_blocks, tb)
     outb = _tile_contract(tiles, rows, cols, hT, t_blocks, transpose)
     return outb.transpose(1, 0, 2).reshape(d, t_blocks * tb)[:, :n].T.astype(h.dtype)
+
+
+def resolved_tile_engine(graph: Graph, widths, dtype=jnp.float32) -> dict:
+    """Resolve (and memoize) the tile engine the dispatch will take for each
+    feature width at activation dtype ``dtype`` — called by train.prepare so
+    the AOT verification never fires mid-trace, and by bench.py for the
+    ``tile_engine`` detail field. Returns {width: 'xla'|'resident'|'blocked'}."""
+    if graph.backend != "bsr" or graph.bsr_tiles is None or graph.bsr_tiles.shape[0] == 0:
+        return {}
+    from cuda_gcn_tpu.ops import pallas_bsr
+
+    if _TILE_ENGINE == "xla" or (_TILE_ENGINE == "auto" and not pallas_bsr._on_tpu()):
+        return {int(d): "xla" for d in widths}
+    k, tb = int(graph.bsr_tiles.shape[0]), int(graph.bsr_tiles.shape[1])
+    if _TILE_ENGINE in ("resident", "blocked"):
+        return {int(d): _TILE_ENGINE for d in widths}
+    if _TILE_ENGINE == "pallas":
+        return {int(d): pallas_bsr.select_variant(
+            k, tb, graph.bsr_nblocks, pallas_bsr.padded_width(d),
+            jnp.dtype(dtype).itemsize, graph.bsr_tiles.dtype.itemsize)
+            for d in widths}
+    return pallas_bsr.warm_engine_cache(k, tb, graph.bsr_nblocks, widths,
+                                        dtype, graph.bsr_tiles.dtype)
 
 
 def _bsr_apply(h, graph: Graph, transpose: bool):

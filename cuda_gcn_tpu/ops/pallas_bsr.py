@@ -86,13 +86,35 @@ def _bsr_kernel(rows_ref, cols_ref, tiles_ref, hb_ref, out0_ref, out_ref,
         out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
-# VMEM budget for the resident-activations kernel variant: the whole
+# VMEM accounting for the resident-activations kernel variant: the whole
 # [T, dp, tb] activation table lives in VMEM and each grid step dynamic-slices
-# its column block in place of a per-step HBM block fetch (the per-step DMA
-# chain is what holds the blocked variant ~2.5x off the tile-stream floor —
-# artifacts/exp_pallas_bsr.json). v5e VMEM is 128 MB; leave room for the
-# double-buffered tile blocks + accumulator.
-_RESIDENT_H_BUDGET_BYTES = 96 * 1024 * 1024
+# its column block in place of a per-step HBM block fetch. The whole-table
+# BlockSpec is allocated on the kernel's SCOPED vmem stack, whose compiler
+# default limit is 16 MiB — NOT the chip's 128 MiB of physical VMEM (round-4
+# regression: an 85.75 MiB table passed a 96 MiB "total VMEM" gate and the
+# compiler rejected it against the 16 MiB scoped limit, BENCH_r04.json). The
+# resident call therefore (a) raises the kernel's limit via
+# CompilerParams(vmem_limit_bytes=...) and (b) gates on the FULL working set
+# (table + double-buffered tile/out blocks + accumulator) against a cap that
+# leaves Mosaic internal-scratch headroom below physical VMEM.
+_VMEM_BYTES = 128 * 1024 * 1024          # v5e physical VMEM per core
+_RESIDENT_WORKING_SET_CAP = 100 * 1024 * 1024
+
+
+def _resident_working_set_bytes(t_blocks: int, dp: int, tb: int,
+                                h_itemsize: int, tile_itemsize: int) -> int:
+    table = t_blocks * dp * tb * h_itemsize
+    tile_blocks = 2 * tb * tb * tile_itemsize        # double-buffered stream
+    out_blocks = 4 * dp * tb * 4                     # out + aliased out0, 2x
+    acc = dp * tb * 4
+    return table + tile_blocks + out_blocks + acc
+
+
+def _resident_fits(t_blocks: int, dp: int, tb: int, h_itemsize: int,
+                   tile_itemsize: int) -> bool:
+    return (_resident_working_set_bytes(t_blocks, dp, tb, h_itemsize,
+                                        tile_itemsize)
+            <= _RESIDENT_WORKING_SET_CAP)
 
 
 def _bsr_kernel_resident(rows_ref, cols_ref, tiles_ref, hb_ref, out0_ref,
@@ -133,11 +155,16 @@ def _bsr_pallas_call_resident(rows, cols, tiles, hb, out0, *, interpret: bool):
         out_specs=pl.BlockSpec((1, dp, tb), lambda i, rows, cols: (rows[i], 0, 0)),
         scratch_shapes=[pltpu.VMEM((dp, tb), jnp.float32)],
     )
+    # the whole-table BlockSpec lands on the kernel's scoped-vmem stack
+    # (default limit 16 MiB); raise the limit to physical VMEM — the gate
+    # (_resident_fits) and the AOT verification (verified_variant) bound the
+    # actual working set below it
     return pl.pallas_call(
         _bsr_kernel_resident,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_blocks, dp, tb), jnp.float32),
         input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BYTES),
         interpret=interpret,
     )(rows, cols, tiles, hb, out0)
 
@@ -168,6 +195,82 @@ def _bsr_pallas_call(rows, cols, tiles, hb, out0, *, interpret: bool):
     )(rows, cols, tiles, hb, out0)
 
 
+def select_variant(k: int, tb: int, t_blocks: int, dp: int,
+                   h_itemsize: int, tile_itemsize: int) -> str:
+    """Pure gate-math choice between the kernel variants (no compile check)."""
+    del k
+    if _resident_fits(t_blocks, dp, tb, h_itemsize, tile_itemsize):
+        return "resident"
+    return "blocked"
+
+
+# Memoized AOT-verified engine per shape key. Populated by verified_variant —
+# at prepare time (train.prepare warms the widths a run will trace) or lazily
+# at trace time. "xla" means neither Pallas variant compiled; the caller
+# (ops.graphsum._dense_tile_part) then takes the XLA einsum path, so an engine
+# regression degrades the number instead of killing the run (VERDICT r4 #1b).
+_ENGINE_CACHE: dict = {}
+
+
+def _aot_compiles(variant: str, k: int, tb: int, t_blocks: int, dp: int,
+                  h_dtype, tile_dtype) -> bool:
+    """AOT-compile one kernel variant at the given dims for the default
+    backend (compile only — nothing executes; on the tunneled TPU this goes
+    through the remote compile service without claiming the chip)."""
+    call = _bsr_pallas_call_resident if variant == "resident" else _bsr_pallas_call
+    sds = jax.ShapeDtypeStruct
+    args = (sds((k,), jnp.int32), sds((k,), jnp.int32),
+            sds((k, tb, tb), tile_dtype), sds((t_blocks, dp, tb), h_dtype),
+            sds((t_blocks, dp, tb), jnp.float32))
+    try:
+        jax.jit(functools.partial(call, interpret=False)).lower(*args).compile()
+        return True
+    except Exception:  # Mosaic/XLA compile failure: reject this variant
+        return False
+
+
+def verified_variant(k: int, tb: int, t_blocks: int, dp: int,
+                     h_dtype, tile_dtype) -> str:
+    """Gate-math choice hardened by an actual TPU compile: returns
+    'resident' | 'blocked' | 'xla'. Off-TPU the gate choice is returned
+    directly (interpret mode always lowers). Round-4 lesson (BENCH_r04.json):
+    a budget gate alone shipped a kernel the compiler rejects at flagship
+    dims; the compiler is the only authority on what fits."""
+    h_dtype = jnp.dtype(h_dtype)
+    tile_dtype = jnp.dtype(tile_dtype)
+    key = (int(k), int(tb), int(t_blocks), int(dp), str(h_dtype),
+           str(tile_dtype))
+    hit = _ENGINE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    first = select_variant(k, tb, t_blocks, dp, h_dtype.itemsize,
+                           tile_dtype.itemsize)
+    if not _on_tpu():
+        _ENGINE_CACHE[key] = first
+        return first
+    choice = "xla"
+    for variant in dict.fromkeys((first, "blocked")):
+        if _aot_compiles(variant, k, tb, t_blocks, dp, h_dtype, tile_dtype):
+            choice = variant
+            break
+    _ENGINE_CACHE[key] = choice
+    return choice
+
+
+def padded_width(d: int) -> int:
+    """The sublane-padded feature width the layout round trip uses."""
+    return _round_up(max(int(d), 1), 16)
+
+
+def warm_engine_cache(k: int, tb: int, t_blocks: int, widths, h_dtype,
+                      tile_dtype) -> dict:
+    """Resolve the verified engine for every feature width a run will trace,
+    so no AOT probe fires mid-trace. Returns {width: engine}."""
+    return {int(d): verified_variant(k, tb, t_blocks, padded_width(d),
+                                     h_dtype, tile_dtype)
+            for d in widths}
+
+
 def bsr_tile_contract(tiles, rows, cols, h, n: int, t_blocks: int,
                       *, interpret: bool | None = None,
                       variant: str = "auto"):
@@ -185,16 +288,14 @@ def bsr_tile_contract(tiles, rows, cols, h, n: int, t_blocks: int,
     if k == 0:  # no tiles selected: dense part is identically zero
         return jnp.zeros((n, h.shape[1]), h.dtype)
     d = h.shape[1]
-    dp = _round_up(max(d, 1), 16)
+    dp = padded_width(d)
     hp = jnp.pad(h, ((0, t_blocks * tb - n), (0, dp - d)))
     hb = hp.reshape(t_blocks, tb, dp).transpose(0, 2, 1)  # [T, dp, tb]
     out0 = jnp.zeros((t_blocks, dp, tb), jnp.float32)
     if variant == "auto":
-        resident = (t_blocks * dp * tb * hb.dtype.itemsize
-                    <= _RESIDENT_H_BUDGET_BYTES)
-    else:
-        resident = variant == "resident"
-    call = _bsr_pallas_call_resident if resident else _bsr_pallas_call
+        variant = select_variant(int(k), int(tb), t_blocks, dp,
+                                 hb.dtype.itemsize, tiles.dtype.itemsize)
+    call = _bsr_pallas_call_resident if variant == "resident" else _bsr_pallas_call
     outb = call(rows, cols, tiles, hb, out0, interpret=interpret)
     dense = outb.transpose(1, 0, 2).reshape(dp, t_blocks * tb)
     return dense[:d, :n].T.astype(h.dtype)

@@ -410,6 +410,14 @@ def prepare(cfg: GCNConfig, dataset: GCNDataset):
     graph = build_graph(dataset.graph, backend=backend, aux_bytes=feat_bytes,
                         act_itemsize=np.dtype(cfg.compute_dtype).itemsize,
                         bsr_budget_bytes=budget)
+    # resolve (and AOT-verify, engine 'auto') the Pallas-vs-XLA tile engine at
+    # every feature width the fused loop will trace, OUTSIDE the big trace —
+    # a Mosaic rejection falls back here instead of crashing the run
+    from cuda_gcn_tpu.ops.graphsum import resolved_tile_engine
+
+    resolved_tile_engine(graph, {2 * cfg.hidden_dim, 2 * cfg.output_dim,
+                                 cfg.hidden_dim, cfg.output_dim},
+                         dtype=cfg.compute_dtype)
     if cfg.feature_matmul == "sparse":
         from cuda_gcn_tpu.ops.matmul import (BANDED_FEATURES_MIN_ROWS,
                                              SparseFeatures,

@@ -80,6 +80,8 @@ def main() -> int:
     ap.add_argument("--tolerance", type=float, default=0.05)
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force JAX platform for our run (accuracy is platform-independent)")
+    ap.add_argument("--out", default=None,
+                    help="write the comparison as a JSON artifact")
     args = ap.parse_args()
 
     from cuda_gcn_tpu.data.synthetic import (PROFILES, VARIANTS,
@@ -115,6 +117,18 @@ def main() -> int:
               f"ours={ours['test_acc']:.5f}, |diff|={diff:.5f}, tol={args.tolerance}")
         speed = (sum(r["train_time"] for r in ref_runs) / len(ref_runs)) / max(ours["train_time"], 1e-9)
         print(f"speed vs gcn-seq: {speed:.2f}x")
+        if args.out:
+            import json
+
+            with open(args.out, "w") as fh:
+                json.dump({"dataset": args.dataset, "epochs": args.epochs,
+                           "tolerance": args.tolerance,
+                           "reference_runs": ref_runs,
+                           "reference_mean_test_acc": ref_acc,
+                           "ours": ours, "abs_diff": diff,
+                           "verdict": "PARITY OK" if diff <= args.tolerance
+                                      else "PARITY FAIL"}, fh, indent=1)
+            print(f"wrote {args.out}", file=sys.stderr)
         if diff > args.tolerance:
             print("PARITY FAIL")
             return 1

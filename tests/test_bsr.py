@@ -618,10 +618,55 @@ def test_pallas_bsr_blocked_variant_matches(monkeypatch):
     h = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
 
     resident = np.asarray(pallas_bsr.bsr_tile_contract(
-        tiles, rows, cols, h, n, t_blocks, interpret=True))
-    monkeypatch.setattr(pallas_bsr, "_RESIDENT_H_BUDGET_BYTES", 0)
+        tiles, rows, cols, h, n, t_blocks, interpret=True, variant="resident"))
     blocked = np.asarray(pallas_bsr.bsr_tile_contract(
-        tiles, rows, cols, h, n, t_blocks, interpret=True))
+        tiles, rows, cols, h, n, t_blocks, interpret=True, variant="blocked"))
     np.testing.assert_allclose(blocked, resident, rtol=1e-6, atol=1e-6)
     ref = _xla_dense_part(tiles, rows, cols, h, n, t_blocks)
     np.testing.assert_allclose(blocked, ref, rtol=1e-6, atol=1e-5)
+
+
+def test_resident_gate_respects_scoped_vmem_reality():
+    """The round-4 regression class: at reddit dims (t_blocks=911, tb=256,
+    dp in {32, 96}, f32 activations) the whole-table working set is 28-86 MiB.
+    The gate must (a) admit only what the raised 128 MiB kernel limit can
+    hold, and (b) never admit a table the physical VMEM can't fit."""
+    from cuda_gcn_tpu.ops import pallas_bsr
+
+    for dp in (32, 96):
+        ws = pallas_bsr._resident_working_set_bytes(911, dp, 256, 4, 2)
+        table = 911 * dp * 256 * 4
+        assert ws > table  # accounts for blocks + accumulator, not just table
+        assert ws < pallas_bsr._VMEM_BYTES
+    # 16x-scale table (t_blocks ~3644): must NOT pass the gate at dp=96
+    assert not pallas_bsr._resident_fits(3644, 96, 256, 4, 2)
+    assert pallas_bsr.select_variant(10, 256, 3644, 96, 4, 2) == "blocked"
+    assert pallas_bsr.select_variant(10, 256, 911, 32, 4, 2) == "resident"
+
+
+def test_verified_variant_off_tpu_uses_gate_and_memoizes(monkeypatch):
+    """Off-TPU the verified engine is the gate choice (interpret always
+    lowers); on-TPU-shaped failures fall back blocked -> xla (simulated by
+    stubbing the AOT compile)."""
+    from cuda_gcn_tpu.ops import pallas_bsr
+
+    pallas_bsr._ENGINE_CACHE.clear()
+    assert pallas_bsr.verified_variant(7, 256, 911, 32, jnp.float32,
+                                       jnp.bfloat16) == "resident"
+    # simulate TPU where every Pallas compile is rejected: must return 'xla'
+    monkeypatch.setattr(pallas_bsr, "_on_tpu", lambda: True)
+    monkeypatch.setattr(pallas_bsr, "_aot_compiles", lambda *a, **k: False)
+    pallas_bsr._ENGINE_CACHE.clear()
+    assert pallas_bsr.verified_variant(7, 256, 911, 96, jnp.float32,
+                                       jnp.bfloat16) == "xla"
+    # resident rejected, blocked accepted -> 'blocked'
+    monkeypatch.setattr(pallas_bsr, "_aot_compiles",
+                        lambda variant, *a, **k: variant == "blocked")
+    pallas_bsr._ENGINE_CACHE.clear()
+    assert pallas_bsr.verified_variant(7, 256, 911, 96, jnp.float32,
+                                       jnp.bfloat16) == "blocked"
+    # memoized: flipping the stub no longer changes the answer
+    monkeypatch.setattr(pallas_bsr, "_aot_compiles", lambda *a, **k: False)
+    assert pallas_bsr.verified_variant(7, 256, 911, 96, jnp.float32,
+                                       jnp.bfloat16) == "blocked"
+    pallas_bsr._ENGINE_CACHE.clear()
