@@ -204,6 +204,24 @@ def select_variant(k: int, tb: int, t_blocks: int, dp: int,
     return "blocked"
 
 
+def preferred_variant(k: int, tb: int, t_blocks: int, dp: int,
+                      h_itemsize: int, tile_itemsize: int) -> str:
+    """Chip-probe-informed per-width policy (artifacts/exp_pallas_bsr.json,
+    reddit dims, warm device-time per pass): the XLA einsum+segment_sum wins
+    at one-vreg width (d=16: 8.1 ms vs 9.0-9.4) where its gather
+    intermediates are cheap; the Pallas pipeline is width-independent
+    (~9-12 ms = tile-stream bound) and wins above (d=82: 10.9 vs 17.4).
+    Between the variants, blocked wins at mid widths (32/48) and resident
+    wins once the per-step streamed [dp, tb] activation block is large
+    (dp>=64: 10.9 vs 12.0 at dp=96) and the table fits VMEM."""
+    if dp <= 16:
+        return "xla"
+    if dp >= 64 and _resident_fits(t_blocks, dp, tb, h_itemsize,
+                                   tile_itemsize):
+        return "resident"
+    return "blocked"
+
+
 # Memoized AOT-verified engine per shape key. Populated by verified_variant —
 # at prepare time (train.prepare warms the widths a run will trace) or lazily
 # at trace time. "xla" means neither Pallas variant compiled; the caller
@@ -231,11 +249,12 @@ def _aot_compiles(variant: str, k: int, tb: int, t_blocks: int, dp: int,
 
 def verified_variant(k: int, tb: int, t_blocks: int, dp: int,
                      h_dtype, tile_dtype) -> str:
-    """Gate-math choice hardened by an actual TPU compile: returns
-    'resident' | 'blocked' | 'xla'. Off-TPU the gate choice is returned
-    directly (interpret mode always lowers). Round-4 lesson (BENCH_r04.json):
-    a budget gate alone shipped a kernel the compiler rejects at flagship
-    dims; the compiler is the only authority on what fits."""
+    """Probe-informed policy choice hardened by an actual TPU compile:
+    returns 'resident' | 'blocked' | 'xla'. Off-TPU the policy choice is
+    returned directly (interpret mode always lowers). Round-4 lesson
+    (BENCH_r04.json): a budget gate alone shipped a kernel the compiler
+    rejects at flagship dims; the compiler is the only authority on what
+    fits."""
     h_dtype = jnp.dtype(h_dtype)
     tile_dtype = jnp.dtype(tile_dtype)
     key = (int(k), int(tb), int(t_blocks), int(dp), str(h_dtype),
@@ -243,9 +262,9 @@ def verified_variant(k: int, tb: int, t_blocks: int, dp: int,
     hit = _ENGINE_CACHE.get(key)
     if hit is not None:
         return hit
-    first = select_variant(k, tb, t_blocks, dp, h_dtype.itemsize,
-                           tile_dtype.itemsize)
-    if not _on_tpu():
+    first = preferred_variant(k, tb, t_blocks, dp, h_dtype.itemsize,
+                              tile_dtype.itemsize)
+    if first == "xla" or not _on_tpu():
         _ENGINE_CACHE[key] = first
         return first
     choice = "xla"

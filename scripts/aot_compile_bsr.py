@@ -97,13 +97,15 @@ def main() -> int:
     all_selected_ok = True
     for d in dims["widths"]:
         dp = pallas_bsr.padded_width(d)
-        selected = pallas_bsr.select_variant(k, tb, t_blocks, dp,
-                                             h_dtype.itemsize,
-                                             tile_dtype.itemsize)
+        selected = pallas_bsr.preferred_variant(k, tb, t_blocks, dp,
+                                                h_dtype.itemsize,
+                                                tile_dtype.itemsize)
         row = {"dp": dp, "gate_selected": selected}
         for variant in ("resident", "blocked"):
             row[variant] = compile_variant(variant, dp)
-        row["selected_compiles"] = bool(row[selected]["ok"])
+        # 'xla' needs no Pallas compile; otherwise the policy's pick must build
+        row["selected_compiles"] = (selected == "xla"
+                                    or bool(row[selected]["ok"]))
         all_selected_ok = all_selected_ok and row["selected_compiles"]
         report["widths"][str(d)] = row
     report["all_gate_selections_compile"] = all_selected_ok

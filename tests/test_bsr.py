@@ -651,8 +651,15 @@ def test_verified_variant_off_tpu_uses_gate_and_memoizes(monkeypatch):
     from cuda_gcn_tpu.ops import pallas_bsr
 
     pallas_bsr._ENGINE_CACHE.clear()
+    # probe-informed policy (artifacts/exp_pallas_bsr.json): xla at one-vreg
+    # width, blocked at mid widths, resident at dp>=64 when the table fits
+    assert pallas_bsr.verified_variant(7, 256, 911, 16, jnp.float32,
+                                       jnp.bfloat16) == "xla"
     assert pallas_bsr.verified_variant(7, 256, 911, 32, jnp.float32,
+                                       jnp.bfloat16) == "blocked"
+    assert pallas_bsr.verified_variant(7, 256, 911, 96, jnp.float32,
                                        jnp.bfloat16) == "resident"
+    pallas_bsr._ENGINE_CACHE.clear()
     # simulate TPU where every Pallas compile is rejected: must return 'xla'
     monkeypatch.setattr(pallas_bsr, "_on_tpu", lambda: True)
     monkeypatch.setattr(pallas_bsr, "_aot_compiles", lambda *a, **k: False)
