@@ -210,15 +210,16 @@ def _tile_contract(tiles, rows, cols, hT, t_blocks, transpose):
 
 
 # Engine for the dense-tile contraction, in the sorted (non-transpose)
-# orientation: 'xla' (the default — the chip probe measured the XLA
-# einsum+segment_sum ahead of both Pallas variants end-to-end, docs/PERF.md
-# "Pallas BSR pipeline"; artifacts/exp_pallas_bsr.json), 'auto' (the Pallas
-# pipeline on TPU, variant chosen by gate math and VERIFIED by an AOT compile
-# with fallback blocked -> XLA — a Mosaic rejection at flagship dims degrades
-# to the XLA path instead of killing the run, VERDICT r4 #1), or a pinned
-# 'pallas'/'resident'/'blocked' (off-TPU these run interpret mode — tests and
-# probes only).
-_TILE_ENGINE = os.environ.get("CUDA_GCN_TPU_TILE_ENGINE", "xla")
+# orientation: 'auto' (the default) picks per feature width between the XLA
+# einsum+segment_sum and the Pallas pipeline using the chip-probe policy
+# (pallas_bsr.preferred_variant; artifacts/exp_pallas_bsr.json), VERIFIED by
+# an AOT compile with fallback blocked -> XLA so a Mosaic rejection at any
+# dims degrades to the XLA path instead of killing the run (VERDICT r4 #1).
+# End-to-end evidence for the default: reddit 100-epoch 27.33 s vs 29.10 s
+# on the pinned XLA engine (artifacts/bench_reddit_100ep_r5.json). 'xla'
+# pins the XLA path; 'pallas'/'resident'/'blocked' pin a kernel (off-TPU
+# these run interpret mode — tests and probes only).
+_TILE_ENGINE = os.environ.get("CUDA_GCN_TPU_TILE_ENGINE", "auto")
 
 
 def _dense_tile_part(tiles, rows, cols, h, n, t_blocks, transpose):
