@@ -95,7 +95,7 @@ def test_committed_artifacts_are_consistent_with_the_model():
     committed partition stats (guards against stale evidence after model or
     stats changes)."""
     art = Path(__file__).resolve().parent.parent / "artifacts"
-    for name in ("reddit", "reddit16x"):
+    for name in ("reddit", "reddit16x", "reddit32x"):
         stats = art / f"partition_stats_{name}.json"
         pred = art / f"predicted_scaling_{name}.json"
         if not (stats.exists() and pred.exists()):
