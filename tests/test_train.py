@@ -343,3 +343,26 @@ def test_prime_cache_compiles_run_programs(tiny_dataset):
     rows = train_mod.prime_cache(GCNConfig(epochs=1, seed=0), tiny_dataset,
                                  verbose=False)
     assert [r[0] for r in rows] == ["eval_step"]
+
+
+@pytest.mark.slow
+def test_prime_cache_keys_match_jit_keys_cross_process():
+    """prime_cache's AOT .lower().compile() must land persistent-cache
+    entries under the SAME keys the jit dispatch path looks up from a later
+    process — otherwise priming can never make a restart warm. Pinned by the
+    round-5 chip cycle (artifacts/prime_cache_cycle.json): the on-TPU miss
+    there is accelerator-fingerprint drift (environmental); on CPU a miss
+    would be OUR bug. Runs scripts/exp_cache_keys.py (two subprocesses)."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parent.parent / "scripts" / "exp_cache_keys.py"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run([sys.executable, str(script)], capture_output=True,
+                          text=True, timeout=1200, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout[proc.stdout.index("{"):])
+    assert report["aot_keys_match_jit_keys"], report
