@@ -63,6 +63,10 @@ def run_leg(kind: str, cache: str) -> None:
 
 
 def main() -> int:
+    # optional out path (argv[1]); CI passes a temp file so suite runs don't
+    # mutate the committed evidence artifact
+    out = Path(sys.argv[1]) if len(sys.argv) > 1 else (
+        REPO / "artifacts" / "cache_keys_cpu.json")
     work = tempfile.mkdtemp(prefix="xla_cache_keys_")
     run_leg("prime", work)
     primed = entries(work)
@@ -77,7 +81,6 @@ def main() -> int:
         "aot_keys_match_jit_keys": not new,
     }
     print(json.dumps(report, indent=1))
-    out = REPO / "artifacts" / "cache_keys_cpu.json"
     out.write_text(json.dumps(report, indent=1))
     print(f"wrote {out}", file=sys.stderr)
     return 0

@@ -359,10 +359,14 @@ def test_prime_cache_keys_match_jit_keys_cross_process():
     import sys
     from pathlib import Path
 
+    import tempfile
+
     script = Path(__file__).resolve().parent.parent / "scripts" / "exp_cache_keys.py"
     env = dict(os.environ, JAX_PLATFORMS="cpu")
-    proc = subprocess.run([sys.executable, str(script)], capture_output=True,
-                          text=True, timeout=1200, env=env)
+    with tempfile.TemporaryDirectory() as td:
+        proc = subprocess.run(
+            [sys.executable, str(script), os.path.join(td, "keys.json")],
+            capture_output=True, text=True, timeout=1200, env=env)
     assert proc.returncode == 0, proc.stderr[-2000:]
     report = json.loads(proc.stdout[proc.stdout.index("{"):])
     assert report["aot_keys_match_jit_keys"], report
