@@ -28,6 +28,18 @@ src/seq/gcn.cpp:20-59):
   logits = Â · hw          (GraphSum)
   loss   = masked CE, test split (CrossEntropyLoss, module.cpp:124-161)
 
+Round 5 extends this to the BACKWARD pass: the driver then pins dropout to 0
+(so training-mode forward is deterministic and equal to the eval forward),
+runs train_epoch's exact forward(true)+backward sequence (gcn.cpp:107-118,
+train split, no optimizer step), and dumps the reference's grads at every
+variable the chain touches — d_logits (CE seeds it in forward(true),
+module.cpp:145-158), d_g1 (post ReLU::backward, i.e. grad wrt pre-relu g1),
+d_xw, d_w1, d_w2. Our side recomputes each with jax.grad over the SAME
+production ops — this validates the custom VJPs (graphsum transpose,
+csr_matmul dW, masked-CE normalization) against the compiled binary, not
+just against the numpy oracle. L2-on-W1 is absent from both sides' grads
+(the reference applies decay inside Adam::step, optim.cpp:31).
+
 Writes artifacts/golden_activations.json. Run (CPU, seconds):
   python scripts/golden_activations.py [--dataset synth-cora]
 """
@@ -79,6 +91,8 @@ int main(int argc, char **argv) {
     GCNData data;
     Parser parser(&params, &data, name);
     if (!parser.parse()) { fprintf(stderr, "cannot read input\n"); return 1; }
+    params.dropout = 0;  // deterministic training-mode forward for the
+                         // backward-pass dump (keep-all at scale 1)
 
     GCN gcn(params, &data);  // glorot runs (time-seeded); overwritten below
     if (!load_f32(wdir + "/w1.bin", gcn.variables[2].data) ||
@@ -101,6 +115,23 @@ int main(int argc, char **argv) {
     }
     std::vector<float> lv(1, gcn.loss);
     dump_f32(odir, "loss", lv);
+
+    // Deterministic BACKWARD pass (train_epoch's exact sequence,
+    // gcn.cpp:107-118, minus the optimizer step): dropout was pinned to 0
+    // before construction so training-mode forward is the eval forward
+    // (Dropout::forward keeps every element at scale 1, module.cpp:211-218),
+    // the ReLU/CE grads are seeded deterministically, and L2 decay never
+    // touches these grads (it is applied inside Adam::step, optim.cpp:31).
+    gcn.set_input();
+    gcn.set_truth(1);  // train split, like train_epoch (gcn.cpp:109)
+    for (auto m : gcn.modules) m->forward(true);
+    for (int i = (int)gcn.modules.size() - 1; i >= 0; i--)
+        gcn.modules[i]->backward();
+    dump_f32(odir, "d_logits", gcn.variables[6].grad);
+    dump_f32(odir, "d_g1", gcn.variables[3].grad);
+    dump_f32(odir, "d_xw", gcn.variables[1].grad);
+    dump_f32(odir, "d_w1", gcn.variables[2].grad);
+    dump_f32(odir, "d_w2", gcn.variables[5].grad);
     printf("golden ok n=%d in=%d hid=%d out=%d\n", params.num_nodes,
            params.input_dim, params.hidden_dim, params.output_dim);
     return 0;
@@ -178,8 +209,10 @@ def run_golden(dataset: str = "synth-cora", reference: str = "/root/reference",
         print(r.stdout.strip(), file=sys.stderr)
 
         n = ds.num_nodes
+        STAGES = ("xw", "g1", "relu", "hw", "logits", "loss",
+                  "d_logits", "d_g1", "d_xw", "d_w1", "d_w2")
         ref = {nm: np.fromfile(os.path.join(odir, f"{nm}.bin"), "<f4")
-               for nm in ("xw", "g1", "relu", "hw", "logits", "loss")}
+               for nm in STAGES}
 
         # our stages, framework production ops (NOT the numpy oracle)
         graph = build_graph(ds.graph, backend="segment")
@@ -194,12 +227,41 @@ def run_golden(dataset: str = "synth-cora", reference: str = "/root/reference",
         logits = graphsum(hw, graph)
         truth = make_truth(ds.split, ds.label, 3)
         loss = masked_cross_entropy(logits, truth)
+
+        # Backward stages vs the reference's module-by-module backward chain
+        # (module.cpp: CE seeds logits->grad in forward(true) at :145-158,
+        # GraphSum::backward :103-118, Matmul/SparseMatmul backward, ReLU
+        # mask). Ours is jax.grad over the SAME production ops, seeded at
+        # the same activation points (dropout=0 makes eval == train-mode
+        # activations); L2-on-W1 is excluded on both sides (the reference
+        # applies it inside Adam::step, optim.cpp:31, not in the grads).
+        truth_tr = make_truth(ds.split, ds.label, 1)
+        w1j, w2j = jnp.asarray(w1), jnp.asarray(w2)
+        fv = jnp.asarray(ds.feature_value)
+        fr = jnp.asarray(frows)
+        fc = jnp.asarray(ds.feature_index.indices.astype(np.int32))
+
+        def head_from_g1(g1_, w2_):
+            hw_ = dense_matmul(jnp.maximum(g1_, 0.0), w2_)
+            return masked_cross_entropy(graphsum(hw_, graph), truth_tr)
+
+        def loss_from_w(w1_, w2_):
+            xw_ = csr_matmul(fv, fr, fc, w1_, n)
+            return head_from_g1(graphsum(xw_, graph), w2_)
+
+        d_w1, d_w2 = jax.grad(loss_from_w, argnums=(0, 1))(w1j, w2j)
+        d_logits = jax.grad(lambda t: masked_cross_entropy(t, truth_tr))(logits)
+        d_g1 = jax.grad(head_from_g1)(g1, w2j)
+        d_xw = jax.grad(lambda t: head_from_g1(graphsum(t, graph), w2j))(xw)
+
         ours = {"xw": xw, "g1": g1, "relu": relu, "hw": hw, "logits": logits,
-                "loss": jnp.reshape(loss, (1,))}
+                "loss": jnp.reshape(loss, (1,)),
+                "d_logits": d_logits, "d_g1": d_g1, "d_xw": d_xw,
+                "d_w1": d_w1, "d_w2": d_w2}
 
         out = {"dataset": dataset, "n_nodes": int(n), "stages": {}}
         ok = True
-        for nm in ("xw", "g1", "relu", "hw", "logits", "loss"):
+        for nm in STAGES:
             a = np.asarray(ours[nm], np.float32).ravel()
             b = ref[nm]
             assert a.shape == b.shape, (nm, a.shape, b.shape)

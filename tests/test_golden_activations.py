@@ -32,6 +32,10 @@ def test_golden_activations_match_reference_binary(tmp_path):
 
     out = run_golden("synth-cora", REFERENCE, out_json=None)
     assert out["verdict"] == "ok", out
+    # forward chain AND the round-5 backward chain (jax.grad over production
+    # ops vs the reference's module-by-module backward) must both be present
+    assert {"xw", "g1", "relu", "hw", "logits", "loss",
+            "d_logits", "d_g1", "d_xw", "d_w1", "d_w2"} <= set(out["stages"])
     for name, stage in out["stages"].items():
         assert stage["ok"], (name, stage)
         assert stage["max_rel_err"] <= 2e-5
