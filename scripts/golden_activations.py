@@ -286,7 +286,12 @@ def main() -> int:
     ap.add_argument("--dataset", default="synth-cora")
     ap.add_argument("--reference", default="/root/reference")
     args = ap.parse_args()
-    out = run_golden(args.dataset, args.reference)
+    # canonical artifact name for the flagship small profile; other profiles
+    # get their own file so runs don't clobber the committed cora evidence
+    out_json = ("artifacts/golden_activations.json"
+                if args.dataset == "synth-cora" else
+                f"artifacts/golden_activations_{args.dataset.removeprefix('synth-')}.json")
+    out = run_golden(args.dataset, args.reference, out_json=out_json)
     return 0 if out["verdict"] == "ok" else 1
 
 
