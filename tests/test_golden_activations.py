@@ -41,6 +41,25 @@ def test_golden_activations_match_reference_binary(tmp_path):
         assert stage["max_rel_err"] <= 2e-5
 
 
+def test_committed_golden_artifacts_are_ok():
+    """Both committed cross-binary golden artifacts (cora + pubmed scale)
+    must carry an ok verdict with every forward AND gradient stage present —
+    a regenerated artifact that silently drops the backward chain fails
+    here."""
+    import json
+    from pathlib import Path
+
+    art = Path(__file__).resolve().parent.parent / "artifacts"
+    need = {"xw", "g1", "relu", "hw", "logits", "loss",
+            "d_logits", "d_g1", "d_xw", "d_w1", "d_w2"}
+    for name in ("golden_activations.json", "golden_activations_pubmed.json"):
+        doc = json.loads((art / name).read_text())
+        assert doc["verdict"] == "ok", (name, doc)
+        assert need <= set(doc["stages"]), (name, sorted(doc["stages"]))
+        for st, row in doc["stages"].items():
+            assert row["ok"] and row["max_rel_err"] <= 2e-5, (name, st, row)
+
+
 @pytest.mark.skipif(not _have_toolchain(),
                     reason="needs /root/reference and g++/make")
 def test_golden_build_fails_loudly_on_missing_weights(tmp_path):
