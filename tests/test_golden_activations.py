@@ -52,7 +52,8 @@ def test_committed_golden_artifacts_are_ok():
     art = Path(__file__).resolve().parent.parent / "artifacts"
     need = {"xw", "g1", "relu", "hw", "logits", "loss",
             "d_logits", "d_g1", "d_xw", "d_w1", "d_w2"}
-    for name in ("golden_activations.json", "golden_activations_pubmed.json"):
+    for name in ("golden_activations.json", "golden_activations_pubmed.json",
+                 "golden_activations_citeseer.json"):
         doc = json.loads((art / name).read_text())
         assert doc["verdict"] == "ok", (name, doc)
         assert need <= set(doc["stages"]), (name, sorted(doc["stages"]))
