@@ -120,7 +120,14 @@ def main() -> int:
     except Exception as e:
         import traceback
 
-        from cuda_gcn_tpu.ops import graphsum
+        # NB: must be the MODULE — both `from cuda_gcn_tpu.ops import
+        # graphsum` AND `import cuda_gcn_tpu.ops.graphsum as g` resolve to
+        # the op function (the package re-export shadows the submodule
+        # attribute) with no _TILE_ENGINE, which would crash this very
+        # failure handler (pinned by tests/test_bench_contract.py)
+        import importlib
+
+        graphsum = importlib.import_module("cuda_gcn_tpu.ops.graphsum")
 
         log(traceback.format_exc())
         fallback_reason = f"{type(e).__name__}: {e}"[:400]
